@@ -1,0 +1,76 @@
+"""Render configuration.
+
+Mirrors the reference's compile-time constants (names and defaults from
+/root/reference/Pathtracer/include/Common_v6.hlsl:1-28 and the v5 set in
+include/Common.hlsl:1-8, include/RayGen.hlsl:62-64) as one runtime dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+# The reference defines PI as 3.1415f (Common_v6.hlsl:1).  We keep the exact
+# constant for behavioral parity in BSDF/pdf math; tests that check against
+# analytic values account for it.
+REF_PI = 3.1415
+
+# Shadow-ray bias (Common_v6.hlsl:2; the v5 set uses 1e-5, Common.hlsl:2).
+S_BIAS = 2.0e-5
+# Float-precision epsilon (Common_v6.hlsl:3; v5 uses 1e-4).
+EPSILON = 1.0e-6
+
+LUT_SIZE_THETA = 16
+
+# Sentinel materialID written by the miss shader (Miss_v6.hlsl:7,
+# Common_v6.hlsl:70-74).
+MISS_MATERIAL_ID = 4294967294
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Tunable render parameters (defaults = the reference's)."""
+
+    width: int = 1920
+    height: int = 1080
+
+    # --- path tracing (v5 megakernel & GI path sampler) ---
+    max_bounces: int = 8          # v5 loops "forever" with RR; we cap statically
+    rr_threshold: int = 3         # russian roulette start depth (RayGen.hlsl:64)
+    samples_per_pixel: int = 1    # samples per frame (RayGen.hlsl:62)
+    ris_m: int = 10               # v5 RIS candidate count (Common.hlsl:8)
+
+    # --- ReSTIR v6 constants (Common_v6.hlsl:8-28) ---
+    nee_samples: int = 4
+    nee_samples_di: int = 4
+    bsdf_samples_di: int = 1
+    gi_bounces: int = 3
+    gi_rr_threshold: int = 1
+    spatial_candidate_count: int = 3
+    spatial_max_tries: int = 9
+    spatial_radius: int = 20
+    spatial_exponent: float = 1.0
+    spatial_m_cap: int = 128
+    spatial_m_cap_gi: int = 128
+    temporal_m_cap: int = 16
+    temporal_m_cap_gi: int = 16
+    temporal_r_threshold: float = 0.09
+    w_sum_threshold: float = 5.0
+    j_threshold: float = 5.0
+    exposure: float = 1.0
+
+    # --- accumulation (RayGen_v6_pass3.hlsl:386) ---
+    max_accum_frames: int = 2_000_000
+
+    # --- numerics ---
+    s_bias: float = S_BIAS
+    epsilon: float = EPSILON
+
+    # Use the reference's exact-but-quirky emissive-hit MIS pdf (missing the
+    # 1/area factor, include/Hit.hlsl:160-165).  True = bit-behavioral parity
+    # with the reference; False = mathematically consistent MIS.
+    reference_mis_quirk: bool = True
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

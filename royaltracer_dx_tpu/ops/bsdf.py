@@ -1,0 +1,262 @@
+"""BSDF library: Lambertian + GGX microfacet with multiscatter compensation.
+
+Vectorized, branchless ports of the reference shading libraries:
+  * GGX_v6.hlsl        — Schlick Fresnel, D_GGX, Smith G1/G2, Heitz VNDF
+                         sampling, eval with ESS-LUT energy compensation,
+                         pdf = G1*D/(4 NdotV)
+  * Lambertian_v6.hlsl — cosine-weighted hemisphere sampling, Kd/pi, cos/pi
+  * BRDF_v6.hlsl       — two-lobe strategy selection probabilities and the
+                         probability-blended eval/pdf used by ReSTIR
+
+Conventions (the reference's):
+  * `outgoing` = unit vector from the surface TOWARD the viewer/previous
+    vertex (V).
+  * `incoming` = unit vector from the light INTO the surface; the light
+    direction L = -incoming.
+  * PI is the reference's 3.1415 constant for parity.
+
+All functions broadcast over leading batch dims; material parameters are
+passed as raw per-lane arrays (kd [N,4]/[N,3], ks [N,3], rough [N], ...).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from royaltracer_dx_tpu.config import EPSILON, REF_PI, S_BIAS
+from royaltracer_dx_tpu.utils import math3d as m3
+from royaltracer_dx_tpu.utils.rng import tea_random
+
+
+def schlick_fresnel(f0: jax.Array, cos_theta: jax.Array) -> jax.Array:
+    """saturate(F0 + (1-F0) * |1-cos|^5) (GGX_v6.hlsl:26-29)."""
+    p = jnp.power(jnp.abs(1.0 - cos_theta), 5.0)
+    return jnp.clip(f0 + (1.0 - f0) * p[..., None], 0.0, 1.0)
+
+
+def d_ggx(ndoth: jax.Array, roughness: jax.Array) -> jax.Array:
+    alpha = roughness * roughness
+    a2 = alpha * alpha
+    denom = ndoth * ndoth * (a2 - 1.0) + 1.0
+    return a2 / (REF_PI * denom * denom)
+
+
+def g1_smith(ndotv: jax.Array, alpha: jax.Array) -> jax.Array:
+    a2 = alpha * alpha
+    return 2.0 * ndotv / (jnp.sqrt(a2 + (1.0 - a2) * ndotv * ndotv) + ndotv)
+
+
+def g2_smith(ndotv: jax.Array, ndotl: jax.Array, alpha: jax.Array) -> jax.Array:
+    a2 = alpha * alpha
+    da = ndotv * jnp.sqrt(a2 + (1.0 - a2) * ndotl * ndotl)
+    db = ndotl * jnp.sqrt(a2 + (1.0 - a2) * ndotv * ndotv)
+    return 2.0 * ndotl * ndotv / (da + db)
+
+
+def ess_lookup(lut_row: jax.Array, ndotv: jax.Array) -> jax.Array:
+    """Linear interp into the 16-entry E_ss LUT (GGX_v6.hlsl:1-23).
+
+    lut_row: [..., 16]; ndotv: [...].
+    """
+    size = lut_row.shape[-1]
+    x = jnp.clip(ndotv, 0.0, 1.0) * (size - 1)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    w = x - i0.astype(x.dtype)
+    v0 = jnp.take_along_axis(lut_row, i0[..., None], axis=-1)[..., 0]
+    v1 = jnp.take_along_axis(lut_row, i1[..., None], axis=-1)[..., 0]
+    return v0 * (1.0 - w) + v1 * w
+
+
+# ----------------------------- Lambertian -----------------------------
+
+
+def sample_lambertian(normal: jax.Array, seed: jax.Array):
+    """Cosine-weighted hemisphere sample (Lambertian_v6.hlsl:2-37).
+
+    Uses the reference's exact basis construction and mirror fixup so the
+    sample sequence matches for identical seeds.  Returns (dir, seed).
+    """
+    u1, seed = tea_random(seed)
+    u2, seed = tea_random(seed)
+    r = jnp.sqrt(u1)
+    theta = 2.0 * jnp.float32(3.14159265358979323846) * u2
+    x = r * jnp.cos(theta)
+    y = r * jnp.sin(theta)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    up = jnp.where(
+        (jnp.abs(normal[..., 2]) < 0.999)[..., None],
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), normal.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), normal.shape),
+    )
+    right = m3.normalize(jnp.cross(up, normal))
+    forward = jnp.cross(normal, right)
+    d = x[..., None] * right + y[..., None] * forward + z[..., None] * normal
+    d = m3.normalize(d)
+    d = jnp.where((m3.dot(d, normal) < 0.0)[..., None], -d, d)
+    return d, seed
+
+
+def eval_lambertian(kd: jax.Array) -> jax.Array:
+    """Kd/pi (Lambertian_v6.hlsl:51-58); kd: [..., 3]."""
+    return kd / REF_PI
+
+
+def pdf_lambertian(normal: jax.Array, incoming: jax.Array) -> jax.Array:
+    """max(dot(n, -incoming), EPS)/pi (Lambertian_v6.hlsl:61-64)."""
+    return jnp.maximum(m3.dot(normal, -incoming), EPSILON) / REF_PI
+
+
+# ------------------------------- GGX ----------------------------------
+
+
+def sample_ggx(roughness: jax.Array, outgoing: jax.Array, normal: jax.Array,
+               seed: jax.Array):
+    """Heitz VNDF sample → reflected direction (GGX_v6.hlsl:93-169).
+
+    Returns (dir, seed).  alpha = roughness^2; sample flipped into the
+    normal hemisphere like the reference.
+    """
+    alpha = (roughness * roughness)[..., None]
+    n = m3.normalize(normal)
+    v = m3.normalize(outgoing)
+    t1w, t2w = m3.coordinate_system(n)
+    vl = jnp.stack([m3.dot(t1w, v), m3.dot(t2w, v), m3.dot(n, v)], axis=-1)
+    ve = m3.normalize(jnp.concatenate([alpha * vl[..., :2], vl[..., 2:]], axis=-1))
+    lensq = ve[..., 0] ** 2 + ve[..., 1] ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    t1h = jnp.where(
+        (lensq > 0.0)[..., None],
+        jnp.stack([-ve[..., 1] * inv, ve[..., 0] * inv, jnp.zeros_like(inv)], -1),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), ve.shape),
+    )
+    t2h = jnp.cross(ve, t1h)
+    u1, seed = tea_random(seed)
+    u2, seed = tea_random(seed)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * REF_PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + ve[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.clip(1.0 - p1 * p1, 0.0, 1.0)) + s * p2
+    nh = (
+        p1[..., None] * t1h
+        + p2[..., None] * t2h
+        + jnp.sqrt(jnp.clip(1.0 - p1 * p1 - p2 * p2, 0.0, 1.0))[..., None] * ve
+    )
+    ne = jnp.concatenate([alpha * nh[..., :2], jnp.maximum(nh[..., 2:], 0.0)], axis=-1)
+    ne = m3.normalize(ne)
+    h = ne[..., 0:1] * t1w + ne[..., 1:2] * t2w + ne[..., 2:3] * n
+    d = m3.reflect(-v, h)
+    d = jnp.where((m3.dot(d, normal) < 0.0)[..., None], -d, d)
+    return d, seed
+
+
+def eval_ggx(ks, roughness, lut_row, normal, incoming, outgoing) -> jax.Array:
+    """GGX specular with multiscatter LUT (GGX_v6.hlsl:174-206).
+
+    incoming = -L.  Returns [..., 3]; zero where the 4*NdotV*NdotL
+    denominator vanishes or the result is non-finite.
+    """
+    n = m3.normalize(normal)
+    v = m3.normalize(outgoing)
+    l = m3.normalize(-incoming)
+    h = m3.normalize(v + l)
+    ndotv = m3.dot(n, v)
+    ndotl = m3.dot(n, l)
+    ndoth = m3.dot(n, h)
+    vdoth = m3.dot(v, h)
+    f = schlick_fresnel(ks, vdoth)
+    d = d_ggx(ndoth, roughness)
+    g = g2_smith(ndotv, ndotl, roughness * roughness)
+    denom = 4.0 * ndotv * ndotl
+    spec = f * (d * g)[..., None] / denom[..., None]
+    ess = ess_lookup(lut_row, ndotv)
+    kms = (1.0 - ess) / ess
+    spec = spec * (1.0 + ks * kms[..., None])
+    finite = jnp.all(jnp.isfinite(spec), axis=-1, keepdims=True)
+    ok = (denom >= EPSILON)[..., None] & finite
+    return jnp.where(ok, spec, 0.0)
+
+
+def pdf_ggx(roughness, normal, incoming, outgoing) -> jax.Array:
+    """VNDF pdf = G1 * D / (4 NdotV) (GGX_v6.hlsl:209-224)."""
+    n = m3.normalize(normal)
+    v = m3.normalize(outgoing)
+    l = m3.normalize(-incoming)
+    h = m3.normalize(v + l)
+    ndoth = m3.dot(n, h)
+    ndotv = m3.dot(n, v)
+    alpha = roughness * roughness
+    return g1_smith(ndotv, alpha) * d_ggx(ndoth, roughness) / (ndotv * 4.0)
+
+
+# ----------------------- strategy selection / blend --------------------
+
+
+def strategy_probs(ks, metallic, normal, outgoing):
+    """(p_diffuse, p_specular) (BRDF_v6.hlsl:50-70)."""
+    cos_theta = m3.dot(normal, outgoing)
+    fres = schlick_fresnel(ks, cos_theta)
+    p_s = jnp.minimum(1.0, m3.luminance_avg(fres) + metallic)
+    return 1.0 - p_s, p_s
+
+
+def select_strategy(ks, metallic, roughness, normal, outgoing, seed):
+    """Pick a lobe: 0 = diffuse, 1 = GGX (BRDF_v6.hlsl:7-48).
+
+    Returns (strategy [..] int32, p_specular [..], seed).  A specular pick
+    with roughness < 0.04 degrades to diffuse like the reference.
+    """
+    r, seed = tea_random(seed)
+    p_d, p_s = strategy_probs(ks, metallic, normal, outgoing)
+    spec = (r <= p_s) & (roughness >= 0.04)
+    return spec.astype(jnp.int32), p_s, seed
+
+
+def sample_bsdf(strategy, ks, roughness, outgoing, normal, seed):
+    """Sample the selected lobe; both lobes consume 2 draws so the RNG
+    sequence stays aligned with the reference's divergent branches.
+    Returns (dir, seed)."""
+    d_lam, _ = sample_lambertian(normal, seed)
+    d_ggx_, seed_out = sample_ggx(roughness, outgoing, normal, seed)
+    spec = (strategy == 1)[..., None]
+    # both lobes advance the seed by the same 2 TEA draws (the state update
+    # is use-independent), so either branch's seed is THE seed
+    return jnp.where(spec, d_ggx_, d_lam), seed_out
+
+
+def eval_bsdf(strategy, kd, ks, roughness, lut_row, normal, incoming, outgoing):
+    """EvaluateBRDF for one selected strategy (BRDF_v6.hlsl:91-106)."""
+    lam = jnp.broadcast_to(eval_lambertian(kd[..., :3]), normal.shape)
+    gx = eval_ggx(ks, roughness, lut_row, normal, incoming, outgoing)
+    return jnp.where((strategy == 1)[..., None], gx, lam)
+
+
+def pdf_bsdf(strategy, roughness, normal, incoming, outgoing):
+    """BRDF_PDF for one selected strategy (BRDF_v6.hlsl:109-124)."""
+    lam = pdf_lambertian(normal, incoming)
+    gx = pdf_ggx(roughness, normal, incoming, outgoing)
+    return jnp.where(strategy == 1, gx, lam)
+
+
+def eval_bsdf_blend(kd, ks, metallic, roughness, lut_row, normal, incoming, outgoing):
+    """Probability-blended two-lobe eval: p_d*f_d + p_s*f_s with
+    SafeMultiply NaN/Inf zeroing (Sampler_v6.hlsl:123-128 pattern)."""
+    p_d, p_s = strategy_probs(ks, metallic, normal, outgoing)
+    f0 = jnp.broadcast_to(eval_lambertian(kd[..., :3]), normal.shape)
+    f1 = eval_ggx(ks, roughness, lut_row, normal, incoming, outgoing)
+    return m3.safe_multiply(p_d, f0) + m3.safe_multiply(p_s, f1)
+
+
+def pdf_bsdf_blend(ks, metallic, roughness, normal, incoming, outgoing):
+    """Probability-blended two-lobe pdf (same SafeMultiply semantics)."""
+    p_d, p_s = strategy_probs(ks, metallic, normal, outgoing)
+    p0 = pdf_lambertian(normal, incoming)
+    p1 = pdf_ggx(roughness, normal, incoming, outgoing)
+    r0 = p_d * p0
+    r1 = p_s * p1
+    r0 = jnp.where(jnp.isfinite(r0), r0, 0.0)
+    r1 = jnp.where(jnp.isfinite(r1), r1, 0.0)
+    return r0 + r1

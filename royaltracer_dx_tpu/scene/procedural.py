@@ -1,0 +1,138 @@
+"""Procedural test scenes.
+
+cornell_box: the BASELINE.json config-1 scene (Lambertian walls + area
+light), the correctness anchor for the megakernel oracle.
+
+menger_sponge: port of the reference's procedural stress geometry
+(DXRHelper.h:184-344 GenerateMengerSponge semantics: recursive subdivision
+keeping 20 of 27 cells, emitting cube faces) — used as a triangle-count
+scaling knob for BVH/traversal benchmarks.
+
+random_tris: uniform random triangle soup for throughput benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from royaltracer_dx_tpu.scene.scene import Scene
+
+
+def _quad(a, b, c, d):
+    """Two triangles for quad a-b-c-d (ccw)."""
+    return [a, b, c], [a, c, d]
+
+
+def cornell_box(light_scale: float = 1.0, emission: float = 15.0) -> Scene:
+    """Classic Cornell box in [0,1]^3 with a ceiling area light.
+
+    Camera should look from (0.5, 0.5, 2.4) toward (0.5, 0.5, 0).
+    """
+    s = Scene()
+    white = s.add_material(kd=(0.73, 0.73, 0.73, 1.0), ks=(0, 0, 0), pr_pm_ps_pc=(1, 0, 0, 0))
+    red = s.add_material(kd=(0.65, 0.05, 0.05, 1.0), ks=(0, 0, 0), pr_pm_ps_pc=(1, 0, 0, 0))
+    green = s.add_material(kd=(0.12, 0.45, 0.15, 1.0), ks=(0, 0, 0), pr_pm_ps_pc=(1, 0, 0, 0))
+    light = s.add_material(
+        kd=(0.0, 0.0, 0.0, 1.0), ks=(0, 0, 0),
+        ke=(emission, emission, emission), pr_pm_ps_pc=(1, 0, 0, 0),
+    )
+
+    verts: list = []
+    tris: list = []
+    mats: list = []
+
+    def add_quad(a, b, c, d, mat):
+        base = len(verts)
+        verts.extend([a, b, c, d])
+        tris.extend([[base, base + 1, base + 2], [base, base + 2, base + 3]])
+        mats.extend([mat, mat])
+
+    # floor (y=0), ceiling (y=1), back (z=0), left (x=0, red), right (x=1, green)
+    add_quad((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1), white)
+    add_quad((0, 1, 1), (1, 1, 1), (1, 1, 0), (0, 1, 0), white)
+    add_quad((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0), white)
+    add_quad((0, 0, 1), (0, 1, 1), (0, 1, 0), (0, 0, 0), red)
+    add_quad((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1), green)
+
+    # two interior boxes (tall + short), axis-aligned for simplicity
+    def add_box(lo, hi, mat):
+        x0, y0, z0 = lo
+        x1, y1, z1 = hi
+        add_quad((x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1), mat)  # front
+        add_quad((x1, y0, z0), (x0, y0, z0), (x0, y1, z0), (x1, y1, z0), mat)  # back
+        add_quad((x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0), mat)  # left
+        add_quad((x1, y0, z1), (x1, y0, z0), (x1, y1, z0), (x1, y1, z1), mat)  # right
+        add_quad((x0, y1, z1), (x1, y1, z1), (x1, y1, z0), (x0, y1, z0), mat)  # top
+
+    add_box((0.10, 0.0, 0.12), (0.45, 0.60, 0.45), white)
+    add_box((0.55, 0.0, 0.50), (0.85, 0.30, 0.80), white)
+
+    # ceiling light (slightly below ceiling); winding chosen so the geometric
+    # normal faces DOWN into the box — the v5 NEE does not flip light normals
+    # (Hit.hlsl:253-263), so emitter orientation matters
+    half = 0.18 * light_scale
+    cx, cz, y = 0.5, 0.45, 0.999
+    add_quad(
+        (cx - half, y, cz - half), (cx + half, y, cz - half),
+        (cx + half, y, cz + half), (cx - half, y, cz + half), light,
+    )
+
+    mesh = s.add_mesh(
+        np.asarray(verts, np.float32),
+        np.asarray(tris, np.int32),
+        normals=None,
+        tri_material=np.asarray(mats, np.int32),
+    )
+    s.add_instance(mesh)
+    return s
+
+
+def menger_sponge(levels: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Menger-sponge cube faces → (vertices [V,3], indices [T,3]).
+
+    Matches DXRHelper.h:184-344 behavior: recursive 3x3x3 subdivision
+    dropping the 7 center cells, then emitting 12 triangles per surviving
+    cube.  levels=3 → 8000 cubes = 96k triangles.
+    """
+    cubes = [(np.zeros(3), 1.0)]
+    for _ in range(levels):
+        nxt = []
+        for origin, size in cubes:
+            step = size / 3.0
+            for i in range(3):
+                for j in range(3):
+                    for k in range(3):
+                        center_axes = (i == 1) + (j == 1) + (k == 1)
+                        if center_axes >= 2:
+                            continue
+                        nxt.append((origin + np.array([i, j, k]) * step, step))
+        cubes = nxt
+
+    verts = []
+    tris = []
+    cube_corners = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32
+    )
+    faces = [
+        (0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4),
+        (2, 3, 7, 6), (0, 4, 7, 3), (1, 2, 6, 5),
+    ]
+    for origin, size in cubes:
+        base = len(verts)
+        verts.extend(origin + cube_corners * size)
+        for a, b, c, d in faces:
+            tris.append([base + a, base + b, base + c])
+            tris.append([base + a, base + c, base + d])
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+
+def random_tris(n: int, seed: int = 0, extent: float = 1.0, size: float = 0.02):
+    """Random triangle soup for traversal throughput benchmarks."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, (n, 1, 3)).astype(np.float32)
+    offsets = rng.normal(0.0, size, (n, 3, 3)).astype(np.float32)
+    tri_verts = centers + offsets
+    verts = tri_verts.reshape(-1, 3)
+    indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+    return verts, indices
