@@ -62,6 +62,12 @@ class RenderConfig:
     # --- accumulation (RayGen_v6_pass3.hlsl:386) ---
     max_accum_frames: int = 2_000_000
 
+    # --- acceleration structure ---
+    # False = brute-force Moller-Trumbore sweep (oracle; fine to ~10k tris);
+    # True = LBVH skip-link traversal (scene must carry a built bvh)
+    use_bvh: bool = False
+    bvh_leaf_size: int = 4
+
     # --- numerics ---
     s_bias: float = S_BIAS
     epsilon: float = EPSILON

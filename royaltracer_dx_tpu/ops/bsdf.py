@@ -176,7 +176,16 @@ def eval_ggx(ks, roughness, lut_row, normal, incoming, outgoing) -> jax.Array:
     kms = (1.0 - ess) / ess
     spec = spec * (1.0 + ks * kms[..., None])
     finite = jnp.all(jnp.isfinite(spec), axis=-1, keepdims=True)
-    ok = (denom >= EPSILON)[..., None] & finite
+    # beyond the reference's denom guard, require both cosines positive:
+    # the reference never shades backsides (its scenes are closed), we can
+    # (open scenes / escaped GI paths), and the 1/(4 NdotV NdotL) pole
+    # otherwise manufactures 1e15-scale fireflies
+    ok = (
+        (denom >= EPSILON)[..., None]
+        & (ndotv > 0.0)[..., None]
+        & (ndotl > 0.0)[..., None]
+        & finite
+    )
     return jnp.where(ok, spec, 0.0)
 
 
@@ -189,7 +198,9 @@ def pdf_ggx(roughness, normal, incoming, outgoing) -> jax.Array:
     ndoth = m3.dot(n, h)
     ndotv = m3.dot(n, v)
     alpha = roughness * roughness
-    return g1_smith(ndotv, alpha) * d_ggx(ndoth, roughness) / (ndotv * 4.0)
+    pdf = g1_smith(ndotv, alpha) * d_ggx(ndoth, roughness) / (ndotv * 4.0)
+    # backside view direction has no reflection pdf (see eval_ggx note)
+    return jnp.where(ndotv > 0.0, pdf, 0.0)
 
 
 # ----------------------- strategy selection / blend --------------------

@@ -33,6 +33,7 @@ from royaltracer_dx_tpu.ops.intersect import (
     closest_hit_brute,
     interpolate_hit,
 )
+from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
 from royaltracer_dx_tpu.utils.rng import tea_batch, tea_random
@@ -56,7 +57,8 @@ def _fetch_material(scene: SceneArrays, mat_id: jax.Array):
     )
 
 
-def _ris_nee(scene, mat, pos, normal, flat_normal, outgoing, strategy, seed, ris_m):
+def _ris_nee(scene, mat, pos, normal, flat_normal, outgoing, strategy, seed, ris_m,
+             use_bvh=False):
     """RIS over ris_m NEE candidates + one shadow ray (Hit.hlsl:183-337).
 
     All candidates evaluate as one [N, M] batch.  The reference draws its
@@ -143,10 +145,13 @@ def _ris_nee(scene, mat, pos, normal, flat_normal, outgoing, strategy, seed, ris
     pdfb_sel = pick(pdf_b)
     pdfl_sel = pick(pdf_l)
 
-    occluded = any_hit_brute(
-        shade_origin, ldir_sel, scene.tri_verts,
-        t_min=jnp.full((n,), _BIAS), t_max=dist_sel - _BIAS,
-    )
+    t_min_s = dist_sel * 0.0 + _BIAS
+    if use_bvh:
+        occluded = any_hit_bvh(shade_origin, ldir_sel, scene.bvh,
+                               t_min_s, dist_sel - _BIAS)
+    else:
+        occluded = any_hit_brute(shade_origin, ldir_sel, scene.tri_verts,
+                                 t_min_s, dist_sel - _BIAS)
     visible = jnp.where(occluded, 0.0, 1.0)
 
     direct = f_sel * (visible * wx)[:, None]
@@ -169,10 +174,12 @@ def bounce_step(scene: SceneArrays, st: dict, bounce: jax.Array, cfg: RenderConf
 
 def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
     def body(bounce, st):
-        hit = closest_hit_brute(
-            st["origin"], st["direction"], scene.tri_verts,
-            t_min=_T_MIN, t_max=_T_MAX,
-        )
+        if cfg.use_bvh:
+            hit = closest_hit_bvh(st["origin"], st["direction"], scene.bvh,
+                                  t_min=_T_MIN, t_max=_T_MAX)
+        else:
+            hit = closest_hit_brute(st["origin"], st["direction"], scene.tri_verts,
+                                    t_min=_T_MIN, t_max=_T_MAX)
         valid = st["alive"] & hit.valid
         pos = st["origin"] + hit.t[:, None] * st["direction"]
         _, normal, flat, _ = interpolate_hit(
@@ -214,7 +221,8 @@ def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
             mat["ks"], mat["metal"], mat["rough"], normal, outgoing, st["seed"]
         )
         direct, seed = _ris_nee(
-            scene, mat, pos, normal, flat, outgoing, strategy, seed, cfg.ris_m
+            scene, mat, pos, normal, flat, outgoing, strategy, seed, cfg.ris_m,
+            use_bvh=cfg.use_bvh,
         )
         direct = direct * st["throughput"]
 

@@ -70,7 +70,9 @@ class Renderer:
         self.camera = camera
         self.cfg = cfg
         self.materials = scene.build_materials()
-        self.scene_arrays = scene.flatten(self.materials)
+        self.scene_arrays = scene.flatten(
+            self.materials, build_bvh=cfg.use_bvh, bvh_leaf_size=cfg.bvh_leaf_size
+        )
         self.fb = Framebuffer.create(cfg.num_pixels)
         self.frame = 0
         self._prev_view = jnp.zeros((4, 4), jnp.float32)
@@ -81,10 +83,11 @@ class Renderer:
         return {k: jnp.asarray(v) for k, v in mats.items()}
 
     def update(self, camera: Camera | None = None):
-        """OnUpdate analog: move camera / animate instances, then refit."""
+        """OnUpdate analog: move camera / animate instances, then refit
+        (BVH topology is kept, bounds recomputed — the TLAS-refit analog)."""
         if camera is not None:
             self.camera = camera
-        self.scene_arrays = self.scene.flatten(self.materials)
+        self.scene_arrays = self.scene.flatten(self.materials, prev=self.scene_arrays)
 
     def render(self) -> None:
         """OnRender analog: trace one frame and accumulate."""

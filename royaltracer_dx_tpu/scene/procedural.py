@@ -47,12 +47,15 @@ def cornell_box(light_scale: float = 1.0, emission: float = 15.0) -> Scene:
         tris.extend([[base, base + 1, base + 2], [base, base + 2, base + 3]])
         mats.extend([mat, mat])
 
-    # floor (y=0), ceiling (y=1), back (z=0), left (x=0, red), right (x=1, green)
-    add_quad((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1), white)
-    add_quad((0, 1, 1), (1, 1, 1), (1, 1, 0), (0, 1, 0), white)
-    add_quad((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0), white)
-    add_quad((0, 0, 1), (0, 1, 1), (0, 1, 0), (0, 0, 0), red)
-    add_quad((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1), green)
+    # floor (y=0), ceiling (y=1), back (z=0), left (x=0, red), right (x=1,
+    # green) — wound so the geometric normals face INTO the box: the v6
+    # pipeline shades with unflipped normals (Hit_v6.hlsl:56-58), so
+    # emitter/receiver orientation is meaningful
+    add_quad((0, 0, 1), (1, 0, 1), (1, 0, 0), (0, 0, 0), white)
+    add_quad((0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1), white)
+    add_quad((1, 0, 0), (1, 1, 0), (0, 1, 0), (0, 0, 0), white)
+    add_quad((0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1), red)
+    add_quad((1, 0, 1), (1, 1, 1), (1, 1, 0), (1, 0, 0), green)
 
     # two interior boxes (tall + short), axis-aligned for simplicity
     def add_box(lo, hi, mat):

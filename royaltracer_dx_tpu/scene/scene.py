@@ -109,11 +109,21 @@ class Scene:
         t = self.material_table()
         return collect_emissive_triangles(self.meshes, self.instance_mesh, t["ke"])
 
-    def flatten(self, materials: Materials | None = None) -> SceneArrays:
+    def flatten(
+        self,
+        materials: Materials | None = None,
+        build_bvh: bool = False,
+        bvh_leaf_size: int = 4,
+        prev: SceneArrays | None = None,
+    ) -> SceneArrays:
         """Bake instances into a world-space triangle soup (device arrays).
 
         This is the per-frame 'refit' analog: call again after
-        set_transform to get updated world geometry.
+        set_transform to get updated world geometry.  With build_bvh, an
+        LBVH is built over the soup; pass ``prev`` (the previous frame's
+        arrays) to REFIT its tree instead of rebuilding (same topology,
+        updated bounds — the reference's TLAS updateOnly path,
+        Renderer.cpp:594).
         """
         if not self.instance_mesh:
             raise ValueError("scene has no instances")
@@ -132,8 +142,18 @@ class Scene:
             tn.append(n[mesh.indices])
             tm.append(mesh.tri_material)
             ti.append(np.full(mesh.num_triangles, inst, np.int32))
+        tri_verts = jnp.asarray(np.concatenate(tv), jnp.float32)
+        bvh = None
+        if prev is not None and prev.bvh is not None:
+            from royaltracer_dx_tpu.ops.bvh import refit_lbvh
+
+            bvh = refit_lbvh(prev.bvh, tri_verts)
+        elif build_bvh:
+            from royaltracer_dx_tpu.ops.bvh import build_lbvh
+
+            bvh = build_lbvh(tri_verts, leaf_size=bvh_leaf_size)
         return SceneArrays(
-            tri_verts=jnp.asarray(np.concatenate(tv), jnp.float32),
+            tri_verts=tri_verts,
             tri_normals=jnp.asarray(np.concatenate(tn), jnp.float32),
             tri_material=jnp.asarray(np.concatenate(tm)),
             tri_instance=jnp.asarray(np.concatenate(ti)),
@@ -141,4 +161,5 @@ class Scene:
             lights=self.build_lights(),
             object_to_world=jnp.asarray(np.stack(self.transforms), jnp.float32),
             prev_object_to_world=jnp.asarray(np.stack(self.prev_transforms), jnp.float32),
+            bvh=bvh,
         )

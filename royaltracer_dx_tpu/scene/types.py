@@ -121,6 +121,7 @@ class SceneArrays:
     lights: LightTriangles
     object_to_world: jax.Array       # [I, 4, 4]
     prev_object_to_world: jax.Array  # [I, 4, 4]
+    bvh: object = None               # LBVH when built (cfg.use_bvh)
 
     @property
     def num_triangles(self) -> int:

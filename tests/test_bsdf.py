@@ -77,14 +77,14 @@ def test_ggx_sample_eval_pdf_white_furnace():
 def test_strategy_probs_sum_to_one():
     ks = jnp.asarray([[0.5, 0.5, 0.5]])
     p_d, p_s = bsdf.strategy_probs(ks, jnp.asarray([0.3]), jnp.asarray([[0, 0, 1.0]]), jnp.asarray([[0, 0, 1.0]]))
-    assert np.isclose(float(p_d + p_s), 1.0, atol=1e-6)
+    assert np.isclose(float((p_d + p_s)[0]), 1.0, atol=1e-6)
 
 
 def test_metallic_forces_specular():
     ks = jnp.asarray([[0.0, 0.0, 0.0]])
     n = jnp.asarray([[0.0, 0.0, 1.0]])
     _, p_s = bsdf.strategy_probs(ks, jnp.asarray([1.0]), n, n)
-    assert float(p_s) == 1.0
+    assert float(p_s[0]) == 1.0
 
 
 def test_ess_lut_monotonic_sane():
@@ -100,8 +100,8 @@ def test_ess_lut_monotonic_sane():
 def test_ess_lookup_interp():
     lut_row = jnp.asarray([np.linspace(0.5, 1.0, 16, dtype=np.float32)])
     v = bsdf.ess_lookup(lut_row, jnp.asarray([0.0]))
-    assert np.isclose(float(v), 0.5, atol=1e-6)
+    assert np.isclose(float(v[0]), 0.5, atol=1e-6)
     v = bsdf.ess_lookup(lut_row, jnp.asarray([1.0]))
-    assert np.isclose(float(v), 1.0, atol=1e-6)
+    assert np.isclose(float(v[0]), 1.0, atol=1e-6)
     mid = bsdf.ess_lookup(lut_row, jnp.asarray([0.5]))
-    assert 0.7 < float(mid) < 0.8
+    assert 0.7 < float(mid[0]) < 0.8
