@@ -1,0 +1,117 @@
+"""Headless CLI — the analog of Main.cpp + the Win32 message pump.
+
+The reference's entry point constructs Renderer(1920, 1080) and pumps
+OnUpdate/OnRender per WM_PAINT (Main.cpp:18-26, Win32Application.cpp:100-105)
+with its default scene {garage.obj, monke.obj} and camera lookat
+(-1.5, 1.5, 3.5) -> (0, 1, 0) (Renderer.cpp:46-48, :363).  This CLI runs the
+same loop headless and writes PNG snapshots instead of presenting.
+
+Usage:
+  python -m royaltracer_dx_tpu.cli --scene cornell --frames 64 --out out.png
+  python -m royaltracer_dx_tpu.cli --scene reference --renderer restir \
+      --width 1920 --height 1080 --frames 100 --snapshot-every 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_INCLUDE = "/root/reference/Pathtracer/include"
+
+
+def build_scene(name: str):
+    from royaltracer_dx_tpu.camera import Camera
+    from royaltracer_dx_tpu.scene.procedural import cornell_box, menger_sponge
+    from royaltracer_dx_tpu.scene.scene import Scene
+
+    if name == "cornell":
+        return cornell_box(emission=18.0), Camera(
+            eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0)
+        )
+    if name == "reference":
+        # the reference's hardcoded scene: garage + monke, identity instances
+        s = Scene()
+        for model in ("garage.obj", "monke.obj"):
+            mesh = s.add_obj(os.path.join(REFERENCE_INCLUDE, model))
+            s.add_instance(mesh)
+        return s, Camera(eye=(-1.5, 1.5, 3.5), center=(0.0, 1.0, 0.0))
+    if name == "menger":
+        s = Scene()
+        v, idx = menger_sponge(2)
+        white = s.add_material(kd=(0.7, 0.7, 0.7, 1.0), ks=(0, 0, 0))
+        light = s.add_material(ke=(20.0, 20.0, 20.0))
+        mesh = s.add_mesh(v, idx, tri_material=np.full(len(idx), white, np.int32))
+        s.add_instance(mesh)
+        lv = np.array([[0.2, 1.4, 0.2], [0.8, 1.4, 0.2], [0.8, 1.4, 0.8],
+                       [0.2, 1.4, 0.8]], np.float32)
+        lm = s.add_mesh(lv, np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+                        tri_material=np.asarray([light, light], np.int32))
+        s.add_instance(lm)
+        return s, Camera(eye=(2.2, 1.6, 2.2), center=(0.5, 0.5, 0.5))
+    raise SystemExit(f"unknown scene {name!r} (cornell | reference | menger)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--renderer", default="restir", choices=("restir", "megakernel"))
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--bounces", type=int, default=5)
+    ap.add_argument("--bvh", action="store_true", help="use the LBVH tracer")
+    ap.add_argument("--out", default="render.png")
+    ap.add_argument("--snapshot-every", type=int, default=0)
+    ap.add_argument("--checkpoint", default="", help="save/resume state npz")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import royaltracer_dx_tpu  # noqa: F401 (precision config)
+    import royaltracer_dx_tpu.cache  # noqa: F401 (compile cache)
+    from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.io.checkpoint import load_renderer_state, save_renderer_state
+    from royaltracer_dx_tpu.render.renderer import Renderer
+    from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
+    from royaltracer_dx_tpu.utils.image import write_png
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, max_bounces=args.bounces,
+        use_bvh=args.bvh,
+    )
+    scene, camera = build_scene(args.scene)
+    cls = RestirRenderer if args.renderer == "restir" else Renderer
+    r = cls(scene, camera, cfg)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        load_renderer_state(args.checkpoint, r)
+        print(f"resumed from {args.checkpoint} at frame {r.frame}")
+
+    t_start = time.perf_counter()
+    for i in range(args.frames):
+        r.render()
+        if i == 0 or (i + 1) % 10 == 0:
+            m = r.metrics
+            extra = f" {m['mrays_per_s']:.2f} Mrays/s" if "mrays_per_s" in m else ""
+            print(f"frame {r.frame}: {m['frame_time_s']*1e3:.1f} ms"
+                  f" ({m['fps']:.1f} fps){extra}", flush=True)
+        if args.snapshot_every and (i + 1) % args.snapshot_every == 0:
+            base, ext = os.path.splitext(args.out)
+            write_png(f"{base}_{r.frame:05d}{ext or '.png'}", r.image())
+    write_png(args.out, r.image())
+    if args.checkpoint:
+        save_renderer_state(args.checkpoint, r)
+        print(f"checkpoint -> {args.checkpoint}")
+    dt = time.perf_counter() - t_start
+    print(f"{args.frames} frames in {dt:.1f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

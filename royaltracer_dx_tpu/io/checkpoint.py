@@ -1,0 +1,67 @@
+"""Checkpoint/resume of progressive render state.
+
+The reference has no checkpointing (SURVEY.md section 5); its closest analog
+is the persistent accumulation texture + last-frame reservoir buffers.  Here
+that state is a pytree, so save/resume is one npz round-trip: framebuffer,
+reservoir ping-pong buffers, frame counter, camera history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _flatten(prefix: str, tree) -> dict:
+    out = {}
+    if hasattr(tree, "__dataclass_fields__"):
+        for f in tree.__dataclass_fields__:
+            out.update(_flatten(f"{prefix}{f}.", getattr(tree, f)))
+    elif isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(f"{prefix}{k}.", v))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_renderer_state(path: str, renderer) -> None:
+    """Save a Renderer/RestirRenderer's progressive state."""
+    state = {
+        "frame": np.asarray(renderer.frame),
+        "prev_view": np.asarray(renderer._prev_view),
+    }
+    state.update(_flatten("fb.", renderer.fb))
+    if hasattr(renderer, "last_di"):
+        state.update(_flatten("last_di.", renderer.last_di))
+        state.update(_flatten("last_gi.", renderer.last_gi))
+        state.update(_flatten("last_sdata.", renderer.last_sdata))
+        state["l1"] = np.asarray(renderer.l1)
+        state["prev_proj"] = np.asarray(renderer._prev_proj)
+    np.savez_compressed(path, **state)
+
+
+def load_renderer_state(path: str, renderer) -> None:
+    """Restore state saved by save_renderer_state into a compatible
+    renderer (same config/resolution)."""
+    data = np.load(path)
+    renderer.frame = int(data["frame"])
+    renderer._prev_view = jnp.asarray(data["prev_view"])
+    renderer.fb = renderer.fb.replace(
+        accum=jnp.asarray(data["fb.accum"]), count=jnp.asarray(data["fb.count"])
+    )
+    if hasattr(renderer, "last_di") and "last_di.x2" in data:
+        renderer.last_di = renderer.last_di.replace(
+            **{f: jnp.asarray(data[f"last_di.{f}"]) for f in
+               renderer.last_di.__dataclass_fields__}
+        )
+        renderer.last_gi = renderer.last_gi.replace(
+            **{f: jnp.asarray(data[f"last_gi.{f}"]) for f in
+               renderer.last_gi.__dataclass_fields__}
+        )
+        renderer.last_sdata = renderer.last_sdata.replace(
+            **{f: jnp.asarray(data[f"last_sdata.{f}"]) for f in
+               renderer.last_sdata.__dataclass_fields__}
+        )
+        renderer.l1 = jnp.asarray(data["l1"])
+        renderer._prev_proj = jnp.asarray(data["prev_proj"])

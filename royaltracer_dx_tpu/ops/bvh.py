@@ -105,22 +105,30 @@ def dfs_links(num_leaves_pow2: int, leaf_base: int) -> tuple[np.ndarray, np.ndar
 class LBVH:
     """Complete-tree LBVH over Morton-sorted triangles.
 
-    Heap node k in [1, 2P): aabb_min/max[k].  Leaves are nodes
-    [P, 2P); leaf j holds triangles sorted_tris[j*leaf_size:(j+1)*leaf_size]
-    (padded slots are degenerate and never intersect).  ``perm`` maps
-    sorted-triangle slots back to original triangle ids (-1 = padding).
+    Heap node k in [1, 2P) stores its AABB as one fused 6-float record
+    (min_xyz | max_xyz) so a traversal step costs one gather.  Leaves are
+    nodes [P, 2P); leaf j holds triangles
+    sorted_tris[j*leaf_size:(j+1)*leaf_size] (padded slots are degenerate
+    and never intersect).  ``perm`` maps sorted-triangle slots back to
+    original triangle ids (-1 = padding).  Child/skip links are analytic
+    (see ops/traverse.py) — no link tables.
     """
 
-    aabb_min: jax.Array     # [2P, 3]
-    aabb_max: jax.Array     # [2P, 3]
+    nodes: jax.Array        # [2P, 6] = (aabb_min | aabb_max)
     sorted_tris: jax.Array  # [P*leaf_size, 3, 3]
     perm: jax.Array         # [P*leaf_size] int32, original tri id or -1
-    hit_link: jax.Array     # [2P] int32 (static topology)
-    skip_link: jax.Array    # [2P] int32
+
+    @property
+    def aabb_min(self) -> jax.Array:
+        return self.nodes[:, :3]
+
+    @property
+    def aabb_max(self) -> jax.Array:
+        return self.nodes[:, 3:]
 
     @property
     def num_leaves(self) -> int:
-        return self.aabb_min.shape[0] // 2
+        return self.nodes.shape[0] // 2
 
     @property
     def leaf_size(self) -> int:
@@ -145,13 +153,15 @@ def _reduce_levels(leaf_min: jax.Array, leaf_max: jax.Array):
         mins.append(jnp.min(m, axis=1))
         maxs.append(jnp.max(x, axis=1))
     # heap layout: level l (size p>>l) occupies [p>>l, 2*(p>>l))
-    amin = jnp.full((2 * p, 3), INF)
-    amax = jnp.full((2 * p, 3), -INF)
+    nodes = jnp.concatenate(
+        [jnp.full((2 * p, 3), INF), jnp.full((2 * p, 3), -INF)], axis=1
+    )
     for lvl, (mn, mx) in enumerate(zip(mins, maxs)):
         base = p >> lvl
-        amin = jax.lax.dynamic_update_slice(amin, mn, (base, 0))
-        amax = jax.lax.dynamic_update_slice(amax, mx, (base, 0))
-    return amin, amax
+        nodes = jax.lax.dynamic_update_slice(
+            nodes, jnp.concatenate([mn, mx], axis=1), (base, 0)
+        )
+    return nodes
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "num_tris"))
@@ -183,8 +193,8 @@ def _build_device(tri_verts: jax.Array, leaf_size: int, num_tris: int):
     smax = jnp.where((perm >= 0)[:, None], tmax[order], -INF)
     leaf_min = jnp.min(smin.reshape(p, leaf_size, 3), axis=1)
     leaf_max = jnp.max(smax.reshape(p, leaf_size, 3), axis=1)
-    amin, amax = _reduce_levels(leaf_min, leaf_max)
-    return amin, amax, sorted_tris, perm
+    nodes = _reduce_levels(leaf_min, leaf_max)
+    return nodes, sorted_tris, perm
 
 
 def build_lbvh(tri_verts: jax.Array, leaf_size: int = 4) -> LBVH:
@@ -197,16 +207,8 @@ def build_lbvh(tri_verts: jax.Array, leaf_size: int = 4) -> LBVH:
         tri_verts = jnp.concatenate(
             [tri_verts, jnp.full((pad, 3, 3), INF, tri_verts.dtype)], axis=0
         )
-    amin, amax, sorted_tris, perm = _build_device(tri_verts, leaf_size, t)
-    hit, skip = dfs_links(p, p)
-    return LBVH(
-        aabb_min=amin,
-        aabb_max=amax,
-        sorted_tris=sorted_tris,
-        perm=perm,
-        hit_link=jnp.asarray(hit),
-        skip_link=jnp.asarray(skip),
-    )
+    nodes, sorted_tris, perm = _build_device(tri_verts, leaf_size, t)
+    return LBVH(nodes=nodes, sorted_tris=sorted_tris, perm=perm)
 
 
 @jax.jit
@@ -223,8 +225,8 @@ def refit_lbvh(bvh: LBVH, tri_verts_new: jax.Array) -> LBVH:
     ls = bvh.leaf_size
     smin = jnp.where(pad[:, 0], INF, jnp.min(sorted_tris, axis=1))
     smax = jnp.where(pad[:, 0], -INF, jnp.max(sorted_tris, axis=1))
-    amin, amax = _reduce_levels(
+    nodes = _reduce_levels(
         jnp.min(smin.reshape(p, ls, 3), axis=1),
         jnp.max(smax.reshape(p, ls, 3), axis=1),
     )
-    return bvh.replace(aabb_min=amin, aabb_max=amax, sorted_tris=sorted_tris)
+    return bvh.replace(nodes=nodes, sorted_tris=sorted_tris)

@@ -1,47 +1,71 @@
-"""Stackless BVH traversal: DFS skip-links, batched over ray lanes.
+"""Stackless BVH traversal, shaped for the TPU memory system.
 
-Replaces DXR hardware TraceRay (fixed-function BVH walk) with a
-TPU-shaped loop: every ray carries ONE int32 cursor into the tree's
-precomputed DFS order (hit_link descends, skip_link jumps the subtree).
-Each while-loop step is a gather (node AABB), a slab test, an optional
-leaf Möller–Trumbore over ``leaf_size`` triangles, and a cursor update —
-no per-lane stack, no data-dependent shapes, pure VPU math + gathers.
-Lanes run lock-step (masked) until all cursors hit the sentinel 0;
-closest-hit culls nodes whose entry distance exceeds the current best t.
+Replaces DXR hardware TraceRay with a lock-step lane walk over the
+complete-tree LBVH (ops/bvh.py).  Three TPU-specific design choices keep
+the per-iteration cost down (gathers are the expensive primitive on TPU —
+they serialize into row DMAs):
+
+  1. skip links are ANALYTIC: in a heap-indexed complete tree,
+     descend(k) = 2k and skip(k) = (k >> trailing_ones(k)) + 1 — pure
+     integer VPU ops (trailing_ones via population_count), zero memory.
+  2. node AABBs live in ONE fused [2P, 6] array: a descend step costs a
+     single 6-float gather per lane.
+  3. the loop runs D cheap descend substeps per iteration and drains leaf
+     hits in a separate batched phase: a lane reaching a leaf parks it in
+     a 'pending' register and keeps walking (or stalls if one is already
+     parked), so the expensive leaf-block gather + Möller–Trumbore runs
+     once per leaf VISIT, not once per traversal STEP.
+
+Closest-hit culls nodes against the running t_best; any-hit exits a lane
+on its first confirmed intersection.
 """
 
 from __future__ import annotations
 
 import functools
 
-import flax.struct
 import jax
 import jax.numpy as jnp
 
 from royaltracer_dx_tpu.ops.bvh import LBVH
 from royaltracer_dx_tpu.ops.intersect import Hit, INF
 
+_DESCEND_SUBSTEPS = 8
 
-def _slab_test(amin, amax, origin, inv_dir, t_min, t_max):
-    """Ray/AABB slab test.  Returns (hit, t_enter)."""
-    t0 = (amin - origin) * inv_dir
-    t1 = (amax - origin) * inv_dir
+
+def _safe_inv(dirs: jax.Array) -> jax.Array:
+    """1/dir with sign-preserving +-1e20 for near-zero components."""
+    big = jnp.where(dirs >= 0.0, 1e20, -1e20)
+    return jnp.where(jnp.abs(dirs) > 1e-20, 1.0 / dirs, big)
+
+
+def _skip_link(node: jax.Array) -> jax.Array:
+    """skip(k) = sibling of the lowest left-child ancestor; 0 = done.
+
+    trailing_ones(k) = ctz(k+1) = popcount((x & -x) - 1) with x = k+1.
+    """
+    x = (node + 1).astype(jnp.uint32)
+    ctz = jax.lax.population_count((x & (~x + jnp.uint32(1))) - jnp.uint32(1))
+    anc = (node.astype(jnp.uint32) >> ctz).astype(jnp.int32)
+    return jnp.where(anc <= 1, 0, anc + 1)
+
+
+def _slab_test(box, origin, inv_dir, t_min, t_max):
+    """box: [..., 6] = (min_xyz | max_xyz).  Returns hit mask."""
+    t0 = (box[..., :3] - origin) * inv_dir
+    t1 = (box[..., 3:] - origin) * inv_dir
     lo = jnp.minimum(t0, t1)
     hi = jnp.maximum(t0, t1)
     t_enter = jnp.maximum(jnp.max(lo, axis=-1), t_min)
     t_exit = jnp.minimum(jnp.min(hi, axis=-1), t_max)
-    return t_enter <= t_exit, t_enter
+    return t_enter <= t_exit
 
 
-def _leaf_intersect(leaf_idx, origins, dirs, sorted_tris, leaf_size, t_min, t_max):
-    """MT test of each lane's current leaf triangles.
-
-    leaf_idx: [N] leaf ordinal (node - P).  Returns (t [N, L], u, v) with
-    misses at INF.
-    """
+def _leaf_mt(leaf_idx, origins, dirs, sorted_tris, leaf_size, t_min, t_max):
+    """MT over each lane's pending leaf block.  Returns (t, u, v, tri_ids)."""
     base = leaf_idx * leaf_size
-    tri_ids = base[:, None] + jnp.arange(leaf_size)[None, :]      # [N, L]
-    tv = sorted_tris[tri_ids]                                     # [N, L, 3, 3]
+    tri_ids = base[:, None] + jnp.arange(leaf_size)[None, :]
+    tv = sorted_tris[tri_ids]                                  # [N, L, 3, 3]
     v0 = tv[..., 0, :]
     e1 = tv[..., 1, :] - v0
     e2 = tv[..., 2, :] - v0
@@ -63,66 +87,79 @@ def _leaf_intersect(leaf_idx, origins, dirs, sorted_tris, leaf_size, t_min, t_ma
     return jnp.where(ok, t, INF), u, v, tri_ids
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+@functools.partial(jax.jit, static_argnames=("max_iters",))
 def closest_hit_bvh(
     origins: jax.Array,
     dirs: jax.Array,
     bvh: LBVH,
     t_min: float | jax.Array = 1e-4,
     t_max: float | jax.Array = 1e4,
-    max_steps: int = 0,
+    max_iters: int = 0,
 ) -> Hit:
-    """Closest hit via skip-link traversal.  Returns Hit with ORIGINAL
-    triangle ids (via bvh.perm)."""
+    """Closest hit; returns Hit with ORIGINAL triangle ids (bvh.perm)."""
     n = origins.shape[0]
     p = bvh.num_leaves
     leaf_size = bvh.leaf_size
+    if max_iters <= 0:
+        max_iters = 4 * p + 64
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    inv_dir = jnp.where(jnp.abs(dirs) > 1e-20, 1.0 / dirs, jnp.sign(dirs) * 1e20 + 1e20)
+    inv_dir = _safe_inv(dirs)
 
+    zero = origins[:, 0] * 0.0
+    izero = zero.astype(jnp.int32)
     state = dict(
-        node=jnp.ones((n,), jnp.int32),
-        t_best=t_max0,
-        tri=jnp.full((n,), -1, jnp.int32),
-        u=jnp.zeros((n,)),
-        v=jnp.zeros((n,)),
+        node=izero + 1,
+        pending=izero,
+        t_best=t_max0 + zero,
+        tri=izero - 1,
+        u=zero,
+        v=zero,
+        iters=jnp.sum(izero),
     )
 
     def cond(st):
-        return jnp.any(st["node"] > 0)
+        return jnp.any((st["node"] > 0) | (st["pending"] > 0)) & (st["iters"] < max_iters)
 
-    def step(st):
-        node = jnp.maximum(st["node"], 1)        # keep gathers in-range
-        active = st["node"] > 0
-        amin = bvh.aabb_min[node]
-        amax = bvh.aabb_max[node]
-        box_hit, _ = _slab_test(amin, amax, origins, inv_dir, t_min, st["t_best"])
-        box_hit = box_hit & active
-        is_leaf = node >= p
+    def body(st):
+        node = st["node"]
+        pending = st["pending"]
+        t_best = st["t_best"]
 
-        # leaf intersection (masked)
-        leaf_idx = jnp.where(is_leaf & box_hit, node - p, 0)
-        t, u, v, tri_ids = _leaf_intersect(
-            leaf_idx, origins, dirs, bvh.sorted_tris, leaf_size, t_min, st["t_best"]
+        # --- descend phase: cheap substeps, park leaves in `pending`
+        for _ in range(_DESCEND_SUBSTEPS):
+            walk = (node > 0) & (pending == 0)
+            safe = jnp.maximum(node, 1)
+            box = bvh.nodes[safe]                        # [N, 6] one gather
+            hit_box = _slab_test(box, origins, inv_dir, t_min, t_best) & walk
+            is_leaf = safe >= p
+            pending = jnp.where(walk & is_leaf & hit_box, safe, pending)
+            nxt = jnp.where(hit_box & ~is_leaf, 2 * safe, _skip_link(safe))
+            node = jnp.where(walk, nxt, node)
+
+        # --- leaf phase: batched MT over parked leaves
+        lanes = pending > 0
+        leaf_idx = jnp.where(lanes, pending - p, 0)
+        t, u, v, tri_ids = _leaf_mt(
+            leaf_idx, origins, dirs, bvh.sorted_tris, leaf_size, t_min, t_best
         )
-        t = jnp.where((is_leaf & box_hit)[:, None], t, INF)
+        t = jnp.where(lanes[:, None], t, INF)
         best_l = jnp.argmin(t, axis=-1)
         rows = jnp.arange(n)
         t_c = t[rows, best_l]
-        better = t_c < st["t_best"]
+        better = t_c < t_best
 
-        st_tri = jnp.where(better, tri_ids[rows, best_l], st["tri"])
-        st_t = jnp.where(better, t_c, st["t_best"])
-        st_u = jnp.where(better, u[rows, best_l], st["u"])
-        st_v = jnp.where(better, v[rows, best_l], st["v"])
+        return dict(
+            node=node,
+            pending=izero,
+            t_best=jnp.where(better, t_c, t_best),
+            tri=jnp.where(better, tri_ids[rows, best_l], st["tri"]),
+            u=jnp.where(better, u[rows, best_l], st["u"]),
+            v=jnp.where(better, v[rows, best_l], st["v"]),
+            iters=st["iters"] + 1,
+        )
 
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, bvh.hit_link[node], bvh.skip_link[node])
-        nxt = jnp.where(active, nxt, 0)
-        return dict(node=nxt, t_best=st_t, tri=st_tri, u=st_u, v=st_v)
-
-    state = jax.lax.while_loop(cond, step, state)
+    state = jax.lax.while_loop(cond, body, state)
 
     found = state["tri"] >= 0
     orig_tri = jnp.where(found, bvh.perm[jnp.maximum(state["tri"], 0)], 0)
@@ -146,35 +183,52 @@ def any_hit_bvh(
     n = origins.shape[0]
     p = bvh.num_leaves
     leaf_size = bvh.leaf_size
+    max_iters = 4 * p + 64
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    inv_dir = jnp.where(jnp.abs(dirs) > 1e-20, 1.0 / dirs, jnp.sign(dirs) * 1e20 + 1e20)
+    inv_dir = _safe_inv(dirs)
 
-    state = dict(node=jnp.ones((n,), jnp.int32), occluded=jnp.zeros((n,), bool))
+    zero = origins[:, 0] * 0.0
+    izero = zero.astype(jnp.int32)
+    state = dict(
+        node=izero + 1,
+        pending=izero,
+        occluded=zero > 1.0,
+        iters=jnp.sum(izero),
+    )
 
     def cond(st):
-        return jnp.any(st["node"] > 0)
+        alive = ~st["occluded"]
+        return jnp.any(alive & ((st["node"] > 0) | (st["pending"] > 0))) & (
+            st["iters"] < max_iters
+        )
 
-    def step(st):
-        node = jnp.maximum(st["node"], 1)
-        active = (st["node"] > 0) & ~st["occluded"]
-        amin = bvh.aabb_min[node]
-        amax = bvh.aabb_max[node]
-        box_hit, _ = _slab_test(amin, amax, origins, inv_dir, t_min, t_max)
-        box_hit = box_hit & active
-        is_leaf = node >= p
-        leaf_idx = jnp.where(is_leaf & box_hit, node - p, 0)
-        t, _, _, _ = _leaf_intersect(
+    def body(st):
+        node = st["node"]
+        pending = st["pending"]
+        occ = st["occluded"]
+        for _ in range(_DESCEND_SUBSTEPS):
+            walk = (node > 0) & (pending == 0) & ~occ
+            safe = jnp.maximum(node, 1)
+            box = bvh.nodes[safe]
+            hit_box = _slab_test(box, origins, inv_dir, t_min, t_max) & walk
+            is_leaf = safe >= p
+            pending = jnp.where(walk & is_leaf & hit_box, safe, pending)
+            nxt = jnp.where(hit_box & ~is_leaf, 2 * safe, _skip_link(safe))
+            node = jnp.where(walk, nxt, node)
+
+        lanes = (pending > 0) & ~occ
+        leaf_idx = jnp.where(lanes, pending - p, 0)
+        t, _, _, _ = _leaf_mt(
             leaf_idx, origins, dirs, bvh.sorted_tris, leaf_size, t_min, t_max
         )
-        hit_any = jnp.any(
-            jnp.where((is_leaf & box_hit)[:, None], t < INF, False), axis=-1
+        hit_any = jnp.any(jnp.where(lanes[:, None], t < INF, False), axis=-1)
+        return dict(
+            node=node,
+            pending=izero,
+            occluded=occ | hit_any,
+            iters=st["iters"] + 1,
         )
-        occluded = st["occluded"] | hit_any
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, bvh.hit_link[node], bvh.skip_link[node])
-        nxt = jnp.where(active & ~occluded, nxt, 0)
-        return dict(node=nxt, occluded=occluded)
 
-    state = jax.lax.while_loop(cond, step, state)
+    state = jax.lax.while_loop(cond, body, state)
     return state["occluded"]

@@ -593,7 +593,20 @@ class RestirRenderer:
         self._prev_view = cam["view"]
         self._prev_proj = cam["proj"]
         self.frame += 1
-        self.metrics = dict(frame_time_s=dt, fps=1.0 / max(dt, 1e-9), frame=self.frame)
+        # dispatched ray lanes per frame (lock-step: masked lanes still pay):
+        # pass1 = primary + bsdf-DI + W-visibility + GI(init + per-bounce
+        # (1 cont) + final shadow); pass2 = 2 vis; pass3 = (2k+1) DI vis +
+        # 2k+? GI vis  (see pass fns) — counted structurally:
+        k = cfg.spatial_candidate_count
+        rays_per_pixel = (3 + 1) + (1 + cfg.gi_bounces + 1) + 2 + (3 * k + 1 + 2)
+        rays = cfg.num_pixels * rays_per_pixel
+        self.metrics = dict(
+            frame_time_s=dt,
+            fps=1.0 / max(dt, 1e-9),
+            frame=self.frame,
+            rays_traced=rays,
+            mrays_per_s=rays / dt / 1e6,
+        )
 
     def radiance(self) -> np.ndarray:
         """Linear image: accumulated ReSTIR shade, L1 passthrough for

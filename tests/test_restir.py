@@ -1,0 +1,149 @@
+"""ReSTIR pipeline tests: reservoir math, pass stability, end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from royaltracer_dx_tpu.camera import Camera
+from royaltracer_dx_tpu.config import RenderConfig
+from royaltracer_dx_tpu.ops import restir
+from royaltracer_dx_tpu.ops.reservoir import (
+    ReservoirDI,
+    get_w,
+    is_valid_di,
+    update_reservoir_di,
+)
+from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer, _pick_first_k
+from royaltracer_dx_tpu.scene.procedural import cornell_box
+from royaltracer_dx_tpu.utils import math3d as m3
+
+CAM = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+
+
+def _seeds(n, s=1):
+    rng = np.random.default_rng(s)
+    return jnp.asarray(rng.integers(0, 2**32, (n, 2), dtype=np.uint32))
+
+
+# --------------------------- unit pieces ---------------------------------
+
+
+def test_reservoir_streaming_selection_statistics():
+    """Weighted reservoir sampling picks proportionally to wi."""
+    n = 4096
+    r = ReservoirDI.zeros_like_lanes(jnp.zeros((n, 3)))
+    seed = _seeds(n)
+    xs = [jnp.full((n, 3), float(i + 1)) for i in range(3)]
+    wis = [1.0, 2.0, 1.0]
+    for x, wi in zip(xs, wis):
+        r, _, seed = update_reservoir_di(
+            r, jnp.ones((n,), bool), jnp.full((n,), wi), jnp.ones((n,)),
+            x, x, x, seed,
+        )
+    picked = np.asarray(r.x2[:, 0])
+    frac2 = (picked == 2.0).mean()
+    assert abs(frac2 - 0.5) < 0.04  # candidate 2 has half the total weight
+    assert np.allclose(np.asarray(r.w_sum), 4.0)
+    assert np.allclose(np.asarray(r.m), 3.0)
+
+
+def test_get_w():
+    w = get_w(jnp.asarray([2.0, 2.0]), jnp.asarray([0.5, 0.0]))
+    assert np.allclose(np.asarray(w), [4.0, 0.0])
+
+
+def test_mirror_clamp():
+    x = jnp.asarray([-3, 0, 5, 63, 64, 66])
+    out = np.asarray(restir.mirror_clamp(x, 64))
+    assert (out >= 0).all() and (out < 64).all()
+    assert out[0] == 3 and out[4] == 62 and out[5] == 60
+
+
+def test_pick_first_k():
+    accept = jnp.asarray([
+        [False, True, False, True, True],
+        [False, False, False, False, False],
+    ])
+    idx, ok = _pick_first_k(accept, 3)
+    np.testing.assert_array_equal(np.asarray(idx[0]), [1, 3, 4])
+    assert bool(ok[0].all())
+    assert not bool(ok[1].any())
+
+
+def test_jacobian_identity():
+    """Shift between identical shading points has Jacobian 1."""
+    x1 = jnp.asarray([[0.0, 0, 0]])
+    x2 = jnp.asarray([[1.0, 1, 1]])
+    n2 = jnp.asarray([[0.0, 1, 0]])
+    j = restir.jacobian_reconnection(x1, x1, x2, n2)
+    assert np.isclose(float(j[0]), 1.0)
+
+
+def test_reject_helpers():
+    assert bool(restir.reject_w_sum(jnp.asarray([6.0]), 5.0)[0])
+    assert not bool(restir.reject_w_sum(jnp.asarray([4.0]), 5.0)[0])
+    j = jnp.asarray([0.1, 1.0, 6.0, np.nan])
+    out = np.asarray(restir.reject_jacobian(j, 5.0))
+    assert out.tolist() == [True, False, True, True]
+
+
+def test_reprojection_static_camera_identity():
+    """With identity motion, a visible point reprojects onto itself."""
+    scene = cornell_box().flatten(cornell_box().build_materials(with_lut=False))
+    cfg = RenderConfig(width=64, height=64)
+    cam = {k: jnp.asarray(v) for k, v in CAM.matrices(1.0).items()}
+    # pixel centers are ray-through-corner in this pipeline; reproject the
+    # exact primary hit of pixel (32, 20)
+    from royaltracer_dx_tpu.camera import generate_rays
+
+    o, d = generate_rays(cam, 64, 64)
+    hit = restir.trace_closest(scene, o, d, cfg)
+    px, py = restir.reproject_to_prev_pixel(
+        scene, hit["pos"], hit["obj"], cam["view"], cam["proj"], 64, 64
+    )
+    lane = 20 * 64 + 32
+    assert hit["valid"][lane]
+    assert abs(int(px[lane]) - 32) <= 1 and abs(int(py[lane]) - 20) <= 1
+
+
+# --------------------------- end to end ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def restir_rendered():
+    cfg = RenderConfig(width=48, height=48)
+    r = RestirRenderer(cornell_box(emission=18.0), CAM, cfg)
+    for _ in range(4):
+        r.render()
+    return r
+
+
+def test_restir_image_sane(restir_rendered):
+    img = restir_rendered.radiance()
+    finite = np.isfinite(img)
+    assert finite.all()
+    assert img[finite].max() < 1e3  # no fireflies
+    assert np.nanmean(img) > 0.05
+
+
+def test_restir_temporal_confidence_grows(restir_rendered):
+    m = np.asarray(restir_rendered.last_di.m)
+    assert m.max() > 1.5  # reuse happened
+
+
+def test_restir_matches_megakernel_mean():
+    """Converged ReSTIR and megakernel agree in overall energy (loose)."""
+    from royaltracer_dx_tpu.render.renderer import Renderer
+
+    cfg = RenderConfig(width=32, height=32, max_bounces=4)
+    mk = Renderer(cornell_box(emission=18.0), CAM, cfg)
+    for _ in range(8):
+        mk.render()
+    rs = RestirRenderer(cornell_box(emission=18.0), CAM, RenderConfig(width=32, height=32))
+    for _ in range(8):
+        rs.render()
+    m_ref = mk.radiance().mean()
+    m_res = rs.radiance().mean()
+    assert m_res > 0.3 * m_ref
+    assert m_res < 3.0 * m_ref
