@@ -81,6 +81,8 @@ def closest_hit_brute(
     """
     n = origins.shape[0]
     t_count = tri_verts.shape[0]
+    while chunk // 2 >= t_count and chunk > 8:
+        chunk //= 2  # don't pad tiny scenes up to a huge chunk
     pad = (-t_count) % chunk
     tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
     v0 = tv[:, 0]
@@ -138,6 +140,8 @@ def any_hit_brute(
     """
     n = origins.shape[0]
     t_count = tri_verts.shape[0]
+    while chunk // 2 >= t_count and chunk > 8:
+        chunk //= 2
     pad = (-t_count) % chunk
     tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
     v0c = tv[:, 0].reshape(-1, chunk, 3)
