@@ -146,6 +146,51 @@ class Camera:
             center=tuple((center + delta).astype(np.float32)),
         )
 
+    def flown(self, forward: float, strafe: float = 0.0, lift: float = 0.0) -> "Camera":
+        """Fly mode (manipulator.h:37 Fly): translate eye AND center along
+        the camera basis — the look direction is preserved."""
+        right, u, f = self.basis()
+        delta = forward * f + strafe * right + lift * u
+        eye = np.asarray(self.eye, np.float64) + delta
+        center = np.asarray(self.center, np.float64) + delta
+        return dataclasses.replace(
+            self, eye=tuple(eye.astype(np.float32)),
+            center=tuple(center.astype(np.float32)),
+        )
+
+    def walked(self, forward: float, strafe: float = 0.0) -> "Camera":
+        """Walk mode: like fly but constrained to the ground plane (the
+        world-up component of motion is dropped)."""
+        right, _, f = self.basis()
+        up = np.asarray(self.up, np.float64)
+        up = up / np.linalg.norm(up)
+        def flatten(v):
+            v = v - np.dot(v, up) * up
+            n = np.linalg.norm(v)
+            return v / n if n > 1e-9 else v
+        delta = forward * flatten(f) + strafe * flatten(right)
+        eye = np.asarray(self.eye, np.float64) + delta
+        center = np.asarray(self.center, np.float64) + delta
+        return dataclasses.replace(
+            self, eye=tuple(eye.astype(np.float32)),
+            center=tuple(center.astype(np.float32)),
+        )
+
+    def looked(self, dx: float, dy: float) -> "Camera":
+        """Rotate the look direction around the eye (fly/walk mouse-look)."""
+        right, u, f = self.basis()
+        eye = np.asarray(self.eye, np.float64)
+        center = np.asarray(self.center, np.float64)
+        offset = center - eye
+        offset = _rotate_axis(offset, np.asarray(self.up, np.float64), -dx * 2.0 * math.pi)
+        offset2 = _rotate_axis(offset, right, -dy * 2.0 * math.pi)
+        nf = offset2 / np.linalg.norm(offset2)
+        if abs(np.dot(nf, np.asarray(self.up) / np.linalg.norm(self.up))) < 0.99:
+            offset = offset2
+        return dataclasses.replace(
+            self, center=tuple((eye + offset).astype(np.float32))
+        )
+
 
 def generate_rays(
     camera_arrays: dict[str, jax.Array],

@@ -69,6 +69,11 @@ def main(argv=None):
     ap.add_argument("--snapshot-every", type=int, default=0)
     ap.add_argument("--checkpoint", default="", help="save/resume state npz")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--animate", action="store_true",
+                    help="rotate instance 1 per frame (the reference's "
+                         "OnUpdate animation, Renderer.cpp:444-449)")
+    ap.add_argument("--profile", default="",
+                    help="write a jax.profiler trace to this directory")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -94,8 +99,20 @@ def main(argv=None):
         load_renderer_state(args.checkpoint, r)
         print(f"resumed from {args.checkpoint} at frame {r.frame}")
 
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
     t_start = time.perf_counter()
     for i in range(args.frames):
+        if args.animate and len(scene.instance_mesh) > 1:
+            ang = 1.57 * (i + 1) / max(args.frames, 1)
+            c, sn = np.cos(ang), np.sin(ang)
+            rot = np.array([[c, 0, sn, 0], [0, 1, 0, 0],
+                            [-sn, 0, c, 0], [0, 0, 0, 1]], np.float32)
+            scene.set_transform(1, rot)
+            r.update()
         r.render()
         if i == 0 or (i + 1) % 10 == 0:
             m = r.metrics
@@ -105,6 +122,11 @@ def main(argv=None):
         if args.snapshot_every and (i + 1) % args.snapshot_every == 0:
             base, ext = os.path.splitext(args.out)
             write_png(f"{base}_{r.frame:05d}{ext or '.png'}", r.image())
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {args.profile}")
     write_png(args.out, r.image())
     if args.checkpoint:
         save_renderer_state(args.checkpoint, r)
