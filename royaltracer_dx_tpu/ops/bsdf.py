@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from royaltracer_dx_tpu.config import EPSILON, REF_PI, S_BIAS
 from royaltracer_dx_tpu.utils import math3d as m3
+from royaltracer_dx_tpu.utils import pvec as pv
 from royaltracer_dx_tpu.utils.rng import tea_random
 
 
@@ -250,6 +251,201 @@ def pdf_bsdf(strategy, roughness, normal, incoming, outgoing):
     lam = pdf_lambertian(normal, incoming)
     gx = pdf_ggx(roughness, normal, incoming, outgoing)
     return jnp.where(strategy == 1, gx, lam)
+
+
+# --------------------------- planar variants ---------------------------
+#
+# Same math as above on PLANAR vectors (tuples of component planes, see
+# utils/pvec.py).  Used by the wide candidate batches ([M, N] RIS/NEE
+# evaluation) where an [..., 3] minor dim would waste 125/128 VPU lanes.
+
+
+def schlick_fresnel_p(f0, cos_theta):
+    """Planar Schlick Fresnel; f0 is a planar vec, returns a planar vec."""
+    p = jnp.power(jnp.abs(1.0 - cos_theta), 5.0)
+    return tuple(jnp.clip(c + (1.0 - c) * p, 0.0, 1.0) for c in f0)
+
+
+def ess_lookup_hat(lut_planes, ndotv):
+    """Gather-free E_ss LUT interpolation (GGX_v6.hlsl:1-23 semantics).
+
+    lut_planes: 16 arrays broadcastable to ndotv's shape (per-lane LUT
+    columns).  Linear interpolation over a uniform grid equals a sum of
+    hat-basis weights, so the lookup becomes 16 dense select-mul-adds —
+    no per-row gather (which costs ~7 ns/row on TPU).
+    """
+    size = len(lut_planes)
+    x = jnp.clip(ndotv, 0.0, 1.0) * (size - 1)
+    acc = 0.0
+    for k, col in enumerate(lut_planes):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(x - k))
+        acc = acc + col * w
+    return acc
+
+
+def eval_ggx_p(ks, roughness, lut_planes, n, l, v):
+    """Planar eval_ggx.  n/l/v are planar unit vectors (n toward viewer
+    side, l toward the light, v toward the viewer).  Returns a planar vec."""
+    h = pv.normalize(pv.add(v, l))
+    ndotv = pv.dot(n, v)
+    ndotl = pv.dot(n, l)
+    ndoth = pv.dot(n, h)
+    vdoth = pv.dot(v, h)
+    f = schlick_fresnel_p(ks, vdoth)
+    d = d_ggx(ndoth, roughness)
+    g = g2_smith(ndotv, ndotl, roughness * roughness)
+    denom = 4.0 * ndotv * ndotl
+    dg = d * g / denom
+    ess = ess_lookup_hat(lut_planes, ndotv)
+    kms = (1.0 - ess) / ess
+    ok = (denom >= EPSILON) & (ndotv > 0.0) & (ndotl > 0.0)
+    out = []
+    for fc, kc in zip(f, ks):
+        s = fc * dg * (1.0 + kc * kms)
+        out.append(jnp.where(ok & jnp.isfinite(s), s, 0.0))
+    return tuple(out)
+
+
+def pdf_ggx_p(roughness, n, l, v):
+    """Planar pdf_ggx (VNDF pdf = G1 * D / (4 NdotV))."""
+    h = pv.normalize(pv.add(v, l))
+    ndoth = pv.dot(n, h)
+    ndotv = pv.dot(n, v)
+    alpha = roughness * roughness
+    pdf = g1_smith(ndotv, alpha) * d_ggx(ndoth, roughness) / (ndotv * 4.0)
+    return jnp.where(ndotv > 0.0, pdf, 0.0)
+
+
+def eval_bsdf_p(strategy, kd, ks, roughness, lut_planes, n, l, v):
+    """Planar eval_bsdf: strategy-selected Lambertian or GGX.
+
+    kd/ks planar vecs; n/l/v planar unit vectors (l toward the light —
+    note this is -incoming vs the AoS API).  Returns a planar vec.
+    """
+    gx = eval_ggx_p(ks, roughness, lut_planes, n, l, v)
+    spec = strategy == 1
+    return tuple(
+        jnp.where(spec, g, k / REF_PI) for g, k in zip(gx, kd)
+    )
+
+
+def pdf_bsdf_p(strategy, roughness, n, l, v):
+    """Planar pdf_bsdf (l toward the light)."""
+    lam = jnp.maximum(pv.dot(n, l), EPSILON) / REF_PI
+    gx = pdf_ggx_p(roughness, n, l, v)
+    return jnp.where(strategy == 1, gx, lam)
+
+
+def eval_bsdf_blend_p(kd, ks, metallic, roughness, lut_planes, n, l, v):
+    """Planar probability-blended two-lobe eval (see eval_bsdf_blend)."""
+    cos_theta = pv.dot(n, v)
+    fres = schlick_fresnel_p(ks, cos_theta)
+    p_s = jnp.minimum(1.0, pv.avg(fres) + metallic)
+    p_d = 1.0 - p_s
+    gx = eval_ggx_p(ks, roughness, lut_planes, n, l, v)
+    out = []
+    for g, k in zip(gx, kd):
+        r0 = p_d * (k / REF_PI)
+        r1 = p_s * g
+        r0 = jnp.where(jnp.isfinite(r0), r0, 0.0)
+        r1 = jnp.where(jnp.isfinite(r1), r1, 0.0)
+        out.append(r0 + r1)
+    return tuple(out)
+
+
+def pdf_bsdf_blend_p(ks, metallic, roughness, n, l, v):
+    """Planar probability-blended two-lobe pdf."""
+    cos_theta = pv.dot(n, v)
+    fres = schlick_fresnel_p(ks, cos_theta)
+    p_s = jnp.minimum(1.0, pv.avg(fres) + metallic)
+    p_d = 1.0 - p_s
+    p0 = jnp.maximum(pv.dot(n, l), EPSILON) / REF_PI
+    p1 = pdf_ggx_p(roughness, n, l, v)
+    r0 = p_d * p0
+    r1 = p_s * p1
+    r0 = jnp.where(jnp.isfinite(r0), r0, 0.0)
+    r1 = jnp.where(jnp.isfinite(r1), r1, 0.0)
+    return r0 + r1
+
+
+def sample_lambertian_p(n, seed):
+    """Planar cosine-weighted hemisphere sample (Lambertian_v6.hlsl:2-37).
+
+    n: planar unit normal; seed: uint32 [..., 2].  Returns (dir, seed) with
+    the same draw order/basis fixups as the AoS version.
+    """
+    u1, seed = tea_random(seed)
+    u2, seed = tea_random(seed)
+    r = jnp.sqrt(u1)
+    theta = 2.0 * jnp.float32(3.14159265358979323846) * u2
+    x = r * jnp.cos(theta)
+    y = r * jnp.sin(theta)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    zero = jnp.zeros_like(n[2])
+    use_z = jnp.abs(n[2]) < 0.999
+    up = (jnp.where(use_z, 0.0, 1.0), zero, jnp.where(use_z, 1.0, 0.0))
+    right = pv.normalize(pv.cross(up, n))
+    forward = pv.cross(n, right)
+    d = pv.add(pv.add(pv.scale(right, x), pv.scale(forward, y)), pv.scale(n, z))
+    d = pv.normalize(d)
+    d = pv.where(pv.dot(d, n) < 0.0, pv.neg(d), d)
+    return d, seed
+
+
+def sample_ggx_p(roughness, v, n, seed):
+    """Planar Heitz VNDF sample → reflected direction (GGX_v6.hlsl:93-169).
+
+    v: planar unit view vector (toward the viewer); n: planar unit normal.
+    Returns (dir, seed)."""
+    alpha = roughness * roughness
+    n = pv.normalize(n)
+    v = pv.normalize(v)
+    t1w, t2w = pv.coordinate_system(n)
+    vl = (pv.dot(t1w, v), pv.dot(t2w, v), pv.dot(n, v))
+    ve = pv.normalize((alpha * vl[0], alpha * vl[1], vl[2]))
+    lensq = ve[0] * ve[0] + ve[1] * ve[1]
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    ok = lensq > 0.0
+    zero = jnp.zeros_like(inv)
+    t1h = (
+        jnp.where(ok, -ve[1] * inv, 1.0),
+        jnp.where(ok, ve[0] * inv, 0.0),
+        zero,
+    )
+    t2h = pv.cross(ve, t1h)
+    u1, seed = tea_random(seed)
+    u2, seed = tea_random(seed)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * REF_PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + ve[2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.clip(1.0 - p1 * p1, 0.0, 1.0)) + s * p2
+    pz = jnp.sqrt(jnp.clip(1.0 - p1 * p1 - p2 * p2, 0.0, 1.0))
+    nh = pv.add(pv.add(pv.scale(t1h, p1), pv.scale(t2h, p2)), pv.scale(ve, pz))
+    ne = pv.normalize((alpha * nh[0], alpha * nh[1], jnp.maximum(nh[2], 0.0)))
+    h = pv.add(pv.add(pv.scale(t1w, ne[0]), pv.scale(t2w, ne[1])), pv.scale(n, ne[2]))
+    d = pv.reflect(pv.neg(v), h)
+    d = pv.where(pv.dot(d, n) < 0.0, pv.neg(d), d)
+    return d, seed
+
+
+def select_strategy_p(ks, metallic, roughness, n, v, seed):
+    """Planar lobe pick: 0 = diffuse, 1 = GGX (BRDF_v6.hlsl:7-48)."""
+    r, seed = tea_random(seed)
+    cos_theta = pv.dot(n, v)
+    fres = schlick_fresnel_p(ks, cos_theta)
+    p_s = jnp.minimum(1.0, pv.avg(fres) + metallic)
+    spec = (r <= p_s) & (roughness >= 0.04)
+    return spec.astype(jnp.int32), p_s, seed
+
+
+def sample_bsdf_p(strategy, ks, roughness, v, n, seed):
+    """Planar sample of the selected lobe; both lobes consume the same 2
+    draws (see sample_bsdf).  Returns (dir, seed)."""
+    d_lam, _ = sample_lambertian_p(n, seed)
+    d_spec, seed_out = sample_ggx_p(roughness, v, n, seed)
+    return pv.where(strategy == 1, d_spec, d_lam), seed_out
 
 
 def eval_bsdf_blend(kd, ks, metallic, roughness, lut_row, normal, incoming, outgoing):

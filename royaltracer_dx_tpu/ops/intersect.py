@@ -5,6 +5,16 @@ is the ground-truth oracle for the BVH traversal kernels.  It is written as
 dense [rays x tris] work — branch-free, tileable, exactly what the TPU VPU
 wants — with a lax.scan over triangle chunks to bound memory.
 
+TPU layout notes (why this file looks "scalarized"):
+  * All inner math is PLANAR: x/y/z live in separate [N, C] arrays.  An
+    [N, C, 3] layout puts 3 in the minor (lane) dimension and wastes
+    125/128 VPU lanes; planar form runs the same math ~3x faster.
+  * Chunks are padded up to >=128 triangles: a [N, 64] op costs exactly as
+    much as [N, 128] (the VPU tile is 8x128 either way), so small chunks
+    only waste lanes.
+  * Winner selection is argmin + one-hot masked sums — never t[rows, idx]
+    row gathers, which serialize on TPU (~7 ns/row).
+
 Replaces: hardware TraceRay dispatch (RayGen_v6_pass1.hlsl:99) + the
 closest-hit payload fill (Hit_v6.hlsl:12-61).  Triangles are double-sided
 (the reference traces RAY_FLAG_NONE with no cull flags).
@@ -19,9 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from royaltracer_dx_tpu.utils import math3d as m3
+from royaltracer_dx_tpu.utils import pvec as pv
 
 INF = jnp.float32(1e30)
 _DET_EPS = 1e-12
+_MIN_CHUNK = 128  # one full lane tile
 
 
 @flax.struct.dataclass
@@ -38,20 +50,43 @@ class Hit:
         return self.t < INF
 
 
-def _mt_chunk(origins, dirs, v0, e1, e2, t_min, t_max):
-    """Möller–Trumbore for all rays x one chunk of triangles.
+def _split3(a: jax.Array, axis: int):
+    """Slice a length-3 axis into component planes."""
+    return (
+        jnp.take(a, 0, axis=axis),
+        jnp.take(a, 1, axis=axis),
+        jnp.take(a, 2, axis=axis),
+    )
 
-    origins/dirs: [N, 3]; v0/e1/e2: [C, 3].
+
+def _mt_chunk_planar(o, d, v0, e1, e2, t_min, t_max):
+    """Möller–Trumbore for all rays x one chunk of triangles, planar form.
+
+    o, d: tuples of 3 ray-component planes shaped [N, 1].
+    v0, e1, e2: tuples of 3 triangle-component planes shaped [C].
     Returns (t [N, C], u [N, C], v [N, C]) with misses at INF.
     """
-    p = jnp.cross(dirs[:, None, :], e2[None, :, :])          # [N, C, 3]
-    det = jnp.sum(e1[None, :, :] * p, axis=-1)               # [N, C]
+    ox, oy, oz = o
+    dx, dy, dz = d
+    v0x, v0y, v0z = v0
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
+    # p = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
-    tvec = origins[:, None, :] - v0[None, :, :]              # [N, C, 3]
-    u = jnp.sum(tvec * p, axis=-1) * inv_det
-    q = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(dirs[:, None, :] * q, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv_det
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (
         (jnp.abs(det) > _DET_EPS)
         & (u >= 0.0)
@@ -61,6 +96,33 @@ def _mt_chunk(origins, dirs, v0, e1, e2, t_min, t_max):
         & (t < t_max)
     )
     return jnp.where(ok, t, INF), u, v
+
+
+def _chunk_planes(tri_verts: jax.Array, chunk: int):
+    """Pad + split triangles into per-chunk planar component arrays.
+
+    Returns (num_chunks, (v0, e1, e2)) where each component tuple holds
+    three [num_chunks, chunk] planes.  Padded (degenerate zero-area)
+    triangles never pass the det test.
+    """
+    t_count = tri_verts.shape[0]
+    pad = (-t_count) % chunk
+    tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
+    num_chunks = tv.shape[0] // chunk
+
+    def planes(a):  # [T, 3] -> three [num_chunks, chunk]
+        return tuple(c.reshape(num_chunks, chunk) for c in _split3(a, 1))
+
+    v0 = planes(tv[:, 0])
+    e1 = planes(tv[:, 1] - tv[:, 0])
+    e2 = planes(tv[:, 2] - tv[:, 0])
+    return num_chunks, (v0, e1, e2)
+
+
+def _ray_planes(origins, dirs):
+    o = tuple(c[:, None] for c in _split3(origins, 1))
+    d = tuple(c[:, None] for c in _split3(dirs, 1))
+    return o, d
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -81,32 +143,26 @@ def closest_hit_brute(
     """
     n = origins.shape[0]
     t_count = tri_verts.shape[0]
-    while chunk // 2 >= t_count and chunk > 8:
-        chunk //= 2  # don't pad tiny scenes up to a huge chunk
-    pad = (-t_count) % chunk
-    tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
-    v0 = tv[:, 0]
-    e1 = tv[:, 1] - tv[:, 0]
-    e2 = tv[:, 2] - tv[:, 0]
-    num_chunks = tv.shape[0] // chunk
-    v0c = v0.reshape(num_chunks, chunk, 3)
-    e1c = e1.reshape(num_chunks, chunk, 3)
-    e2c = e2.reshape(num_chunks, chunk, 3)
-    # padded (degenerate zero-area) triangles never pass the det test
+    chunk = max(min(chunk, -(-t_count // _MIN_CHUNK) * _MIN_CHUNK), _MIN_CHUNK)
+    num_chunks, tris_all = _chunk_planes(tri_verts, chunk)
+    o, d = _ray_planes(origins, dirs)
+    lane = jax.lax.iota(jnp.int32, chunk)[None, :]  # [1, C]
 
     def step(carry, tris):
         best_t, best_tri, best_u, best_v, base = carry
-        cv0, ce1, ce2 = tris
-        t, u, v = _mt_chunk(origins, dirs, cv0, ce1, ce2, t_min, t_max)
-        idx = jnp.argmin(t, axis=-1)
-        rows = jnp.arange(n)
-        t_c = t[rows, idx]
+        v0, e1, e2 = tris
+        t, u, v = _mt_chunk_planar(o, d, v0, e1, e2, t_min, t_max)
+        t_c = jnp.min(t, axis=-1)                       # [N]
+        idx = jnp.argmin(t, axis=-1).astype(jnp.int32)  # [N]
+        hot = idx[:, None] == lane                      # [N, C] one-hot
+        u_c = jnp.sum(jnp.where(hot, u, 0.0), axis=-1)
+        v_c = jnp.sum(jnp.where(hot, v, 0.0), axis=-1)
         better = t_c < best_t
         carry = (
             jnp.where(better, t_c, best_t),
-            jnp.where(better, base + idx.astype(jnp.int32), best_tri),
-            jnp.where(better, u[rows, idx], best_u),
-            jnp.where(better, v[rows, idx], best_v),
+            jnp.where(better, base + idx, best_tri),
+            jnp.where(better, u_c, best_u),
+            jnp.where(better, v_c, best_v),
             base + chunk,
         )
         return carry, None
@@ -121,7 +177,10 @@ def closest_hit_brute(
         zero,
         jnp.int32(0),
     )
-    (t, tri, u, v, _), _ = jax.lax.scan(step, init, (v0c, e1c, e2c))
+    if num_chunks == 1:
+        (t, tri, u, v, _), _ = step(init, jax.tree.map(lambda a: a[0], tris_all))
+    else:
+        (t, tri, u, v, _), _ = jax.lax.scan(step, init, tris_all)
     return Hit(t=t, tri=tri, u=u, v=v)
 
 
@@ -140,24 +199,61 @@ def any_hit_brute(
     """
     n = origins.shape[0]
     t_count = tri_verts.shape[0]
-    while chunk // 2 >= t_count and chunk > 8:
-        chunk //= 2
-    pad = (-t_count) % chunk
-    tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)))
-    v0c = tv[:, 0].reshape(-1, chunk, 3)
-    e1c = (tv[:, 1] - tv[:, 0]).reshape(-1, chunk, 3)
-    e2c = (tv[:, 2] - tv[:, 0]).reshape(-1, chunk, 3)
+    chunk = max(min(chunk, -(-t_count // _MIN_CHUNK) * _MIN_CHUNK), _MIN_CHUNK)
+    num_chunks, tris_all = _chunk_planes(tri_verts, chunk)
+    o, d = _ray_planes(origins, dirs)
     t_min = jnp.broadcast_to(jnp.asarray(t_min), (n,))[:, None]
     t_max = jnp.broadcast_to(jnp.asarray(t_max), (n,))[:, None]
 
     def step(occluded, tris):
-        cv0, ce1, ce2 = tris
-        t, _, _ = _mt_chunk(origins, dirs, cv0, ce1, ce2, t_min, t_max)
+        v0, e1, e2 = tris
+        t, _, _ = _mt_chunk_planar(o, d, v0, e1, e2, t_min, t_max)
         return occluded | jnp.any(t < INF, axis=-1), None
 
     no_hit = origins[:, 0] * 0.0 > 1.0  # varying-axes-matching False init
-    occluded, _ = jax.lax.scan(step, no_hit, (v0c, e1c, e2c))
+    if num_chunks == 1:
+        occluded, _ = step(no_hit, jax.tree.map(lambda a: a[0], tris_all))
+    else:
+        occluded, _ = jax.lax.scan(step, no_hit, tris_all)
     return occluded
+
+
+def interpolate_hit_p(hit: Hit, tri_verts, tri_normals):
+    """Planar ``interpolate_hit``: one [N, 9] row-gather per table, then
+    pure full-lane component math.
+
+    Returns (pos, normal, flat, area) with the vectors as planar tuples
+    (see utils/pvec.py).  Same semantics as ``interpolate_hit`` minus the
+    toward-ray flip (callers flip).
+    """
+    t_count = tri_verts.shape[0]
+    tv9 = tri_verts.reshape(t_count, 9)[hit.tri]     # [N, 9] one gather
+    tn9 = tri_normals.reshape(t_count, 9)[hit.tri]   # [N, 9] one gather
+    v = [tv9[:, k] for k in range(9)]   # v0.xyz v1.xyz v2.xyz planes
+    nv = [tn9[:, k] for k in range(9)]
+    w0 = 1.0 - hit.u - hit.v
+    w1, w2 = hit.u, hit.v
+    pos = tuple(w0 * v[c] + w1 * v[3 + c] + w2 * v[6 + c] for c in range(3))
+    e1 = tuple(v[3 + c] - v[c] for c in range(3))
+    e2 = tuple(v[6 + c] - v[c] for c in range(3))
+    cr = pv.cross(e1, e2)
+    area = 0.5 * pv.length(cr)
+    flat = pv.normalize(cr)
+    # per-vertex zero-normal fallback to flat, then barycentric blend
+    smooth = []
+    for c in range(3):
+        acc = 0.0
+        for k, wk in enumerate((w0, w1, w2)):
+            has_n = (
+                (nv[3 * k] != 0.0) | (nv[3 * k + 1] != 0.0) | (nv[3 * k + 2] != 0.0)
+            )
+            acc = acc + wk * jnp.where(has_n, nv[3 * k + c], flat[c])
+        smooth.append(acc)
+    smooth = tuple(smooth)
+    use_smooth = pv.length(smooth) > 1e-4
+    sm = pv.normalize(smooth)
+    normal = pv.where(use_smooth, sm, flat)
+    return pos, normal, flat, area
 
 
 def interpolate_hit(hit: Hit, tri_verts, tri_normals, dirs):

@@ -7,11 +7,17 @@ against the BSDF continuation (Hit.hlsl:126-381), russian roulette after
 depth 3 (RayGen.hlsl:118-130).
 
 Where the DXR version runs one divergent thread per pixel, this version is
-one jitted program over dense SoA lanes: the bounce loop is a lax.fori_loop
-over masked [N]-array updates, the RIS candidates are a vectorized [N, M]
-batch (the reference's sequential RNG draw order is preserved by drawing
-3*M uniforms sequentially first), and the two TraceRay sites (continuation
-+ shadow) are batched Möller–Trumbore sweeps.
+one jitted program over dense SoA lanes.  TPU layout rules shape the code:
+
+  * All hot math is PLANAR (component planes, utils/pvec.py): an [N, 3]
+    AoS vector puts 3 in the 128-wide lane dim and wastes 97% of the VPU.
+  * The RIS candidate batch is CANDIDATE-MAJOR [M, N]: lanes stay full and
+    the per-candidate reductions (CDF cumsum, reservoir pick) walk the
+    cheap sublane axis.
+  * Per-lane table reads (materials, lights, the GGX E_ss LUT) avoid TPU
+    row gathers (~7 ns/row, serializing) — small tables use one-hot
+    select loops, the LUT uses a hat-basis interpolation, and triangle
+    attributes come from single wide-row gathers (intersect.py).
 
 Intentional behavior-parity quirks (cfg.reference_mis_quirk):
   * emissive-hit MIS pdf omits the 1/area factor (Hit.hlsl:160-165)
@@ -27,16 +33,18 @@ import jax
 import jax.numpy as jnp
 
 from royaltracer_dx_tpu.config import RenderConfig
-from royaltracer_dx_tpu.ops import bsdf, light_sampling
+from royaltracer_dx_tpu.ops import bsdf
 from royaltracer_dx_tpu.ops.intersect import (
     any_hit_brute,
     closest_hit_brute,
-    interpolate_hit,
+    interpolate_hit_p,
 )
+from royaltracer_dx_tpu.ops.light_sampling import fold_barycentric, light_world_verts
 from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
-from royaltracer_dx_tpu.utils.rng import tea_batch, tea_random
+from royaltracer_dx_tpu.utils import pvec as pv
+from royaltracer_dx_tpu.utils.rng import tea_batch_major, tea_random
 
 # v5 numeric constants (Common.hlsl:1-3)
 _EPS = 1e-4
@@ -44,120 +52,193 @@ _BIAS = 1e-5
 _T_MIN = 1e-4
 _T_MAX = 1e4
 
+# Above these table sizes, one-hot select loops lose to a row gather.
+_ONEHOT_MAT_MAX = 32
+_ONEHOT_LIGHT_MAX = 32
 
-def _fetch_material(scene: SceneArrays, mat_id: jax.Array):
+
+def _fetch_material(scene: SceneArrays, mat_id: jax.Array) -> dict:
+    """Per-lane material record as PLANAR fields.
+
+    Returns dict(kd, ks, ke: planar vecs; rough, metal: [N]; lut: tuple of
+    16 [N] planes).  Small material tables (the usual case — garage.mtl has
+    3) are fetched with a gather-free one-hot select loop.
+    """
     m = scene.materials
+    count = m.count
+
+    if count <= _ONEHOT_MAT_MAX:
+        def sel(col):  # col: [count] -> [N]
+            acc = jnp.full(mat_id.shape, col[0], col.dtype)
+            for i in range(1, count):
+                acc = jnp.where(mat_id == i, col[i], acc)
+            return acc
+
+        return dict(
+            kd=tuple(sel(m.kd[:, c]) for c in range(3)),
+            ks=tuple(sel(m.ks[:, c]) for c in range(3)),
+            ke=tuple(sel(m.ke[:, c]) for c in range(3)),
+            rough=sel(m.pr_pm_ps_pc[:, 0]),
+            metal=sel(m.pr_pm_ps_pc[:, 1]),
+            lut=tuple(sel(m.lut[:, k]) for k in range(16)),
+        )
+
+    # wide-row gather fallback: one packed [count, 27] table, one gather
+    packed = jnp.concatenate(
+        [m.kd[:, :3], m.ks, m.ke, m.pr_pm_ps_pc[:, :2], m.lut], axis=1
+    )
+    row = packed[mat_id]  # [N, 27]
     return dict(
-        kd=m.kd[mat_id],
-        ks=m.ks[mat_id],
-        ke=m.ke[mat_id],
-        rough=m.pr_pm_ps_pc[..., 0][mat_id],
-        metal=m.pr_pm_ps_pc[..., 1][mat_id],
-        lut=m.lut[mat_id],
+        kd=tuple(row[:, c] for c in range(3)),
+        ks=tuple(row[:, 3 + c] for c in range(3)),
+        ke=tuple(row[:, 6 + c] for c in range(3)),
+        rough=row[:, 9],
+        metal=row[:, 10],
+        lut=tuple(row[:, 11 + k] for k in range(16)),
     )
 
 
-def _ris_nee(scene, mat, pos, normal, flat_normal, outgoing, strategy, seed, ris_m,
-             use_bvh=False):
-    """RIS over ris_m NEE candidates + one shadow ray (Hit.hlsl:183-337).
+def _light_tables(scene: SceneArrays):
+    """World-space light table, computed once per bounce ([L]-sized work).
 
-    All candidates evaluate as one [N, M] batch.  The reference draws its
-    3 uniforms per candidate sequentially (Hit.hlsl:198,229-230); we use the
-    counter-based tea_batch instead — same TEA hash, same distribution,
-    different sequence (see utils/rng.py) — because 30 chained draws
-    dominate XLA compile time.
-
-    Returns (direct [N,3] — NOT yet multiplied by throughput, seed).
-    """
-    n = pos.shape[0]
+    Returns per-light columns: verts (9), normal (3), pdf (1), emission
+    (3) — 16 scalars — mirroring the per-candidate math the reference does
+    inside SampleLightNEE (Hit.hlsl:196-258)."""
     lights = scene.lights
-
-    us, seed = tea_batch(seed, 3 * ris_m)              # [N, 3M]
-    us = us.reshape(n, ris_m, 3)
-    u_sel, xi1, xi2 = us[..., 0], us[..., 1], us[..., 2]
-
-    shade_origin = pos + _BIAS * flat_normal           # [N, 3]
-
-    idx = light_sampling.select_light(lights, u_sel)   # [N, M]
-    wv = light_sampling.light_world_verts(lights, scene.object_to_world, idx)
-    bu, bv, bw = light_sampling.fold_barycentric(xi1, xi2)
-    point = (
-        bu[..., None] * wv[..., 0, :]
-        + bv[..., None] * wv[..., 1, :]
-        + bw[..., None] * wv[..., 2, :]
-    )                                                   # [N, M, 3]
-
-    l_vec = point - shade_origin[:, None, :]
-    dist2 = jnp.maximum(m3.dot(l_vec, l_vec), _EPS)
-    dist = jnp.maximum(jnp.sqrt(dist2), _EPS)
-    l_norm = l_vec / dist[..., None]
-
-    e1 = wv[..., 1, :] - wv[..., 0, :]
-    e2 = wv[..., 2, :] - wv[..., 0, :]
+    l_count = lights.count
+    wv = light_world_verts(
+        scene.lights, scene.object_to_world, jnp.arange(l_count, dtype=jnp.int32)
+    )  # [L, 3, 3]
+    e1 = wv[:, 1] - wv[:, 0]
+    e2 = wv[:, 2] - wv[:, 0]
     cr = jnp.cross(e1, e2)
     area = jnp.abs(0.5 * m3.length(cr))
     nl = m3.normalize(cr)
-    # v5 does NOT flip the light normal toward the shading point
-    cosx = jnp.maximum(_EPS, m3.dot(normal[:, None, :], l_norm))
-    cosy = jnp.maximum(_EPS, m3.dot(nl, -l_norm))
-    g = jnp.maximum(cosx * cosy / dist2, _EPS)
-    pdf_l = lights.weight[idx] / jnp.maximum(area, _EPS)
-    emission = lights.emission[idx]                     # [N, M, 3]
+    pdf = lights.weight / jnp.maximum(area, _EPS)
+    cols = [wv[:, k, c] for k in range(3) for c in range(3)]
+    cols += [nl[:, 0], nl[:, 1], nl[:, 2], pdf,
+             lights.emission[:, 0], lights.emission[:, 1], lights.emission[:, 2]]
+    return cols  # list of 16 [L] columns
 
-    brdf = bsdf.eval_bsdf(
-        strategy[:, None], mat["kd"][:, None, :], mat["ks"][:, None, :],
-        mat["rough"][:, None], mat["lut"][:, None, :],
-        normal[:, None, :], -l_norm, outgoing[:, None, :],
-    )                                                   # [N, M, 3]
+
+def _select_lights(cols, cdf, u_sel):
+    """CDF-pick a light per candidate, return its record planes.
+
+    u_sel: [M, N].  The searchsorted(side='right') of the reference's
+    binary search (Hit.hlsl:210-226) is a dense compare-count for small L;
+    record fields come from a one-hot select loop (no gathers) or a packed
+    row gather for big tables.
+    """
+    l_count = cdf.shape[0]
+    idx = jnp.zeros(u_sel.shape, jnp.int32)
+    for l in range(l_count - 1):  # count of cdf[l] <= u, clipped to L-1
+        idx = idx + (cdf[l] <= u_sel).astype(jnp.int32)
+
+    if l_count <= _ONEHOT_LIGHT_MAX:
+        out = []
+        for col in cols:
+            acc = jnp.full(u_sel.shape, col[0], col.dtype)
+            for l in range(1, l_count):
+                acc = jnp.where(idx == l, col[l], acc)
+            out.append(acc)
+        return out
+    packed = jnp.stack(cols, axis=1)          # [L, 16]
+    rows = packed[idx.reshape(-1)]            # [M*N, 16]
+    return [rows[:, k].reshape(u_sel.shape) for k in range(len(cols))]
+
+
+def _ris_nee(scene, mat, pos, normal, flat, outgoing, strategy, seed, ris_m,
+             use_bvh=False):
+    """RIS over ris_m NEE candidates + one shadow ray (Hit.hlsl:183-337).
+
+    All inputs planar ([N] planes); candidates evaluate as a CANDIDATE-MAJOR
+    [M, N] planar batch.  The reference draws its 3 uniforms per candidate
+    sequentially (Hit.hlsl:198,229-230); we use the counter-based
+    tea_batch_major instead — same TEA hash, same distribution, different
+    sequence (see utils/rng.py) — because 30 chained draws dominate XLA
+    compile time.
+
+    Returns (direct planar vec [N] — NOT yet multiplied by throughput, seed).
+    """
+    lights = scene.lights
+    m_cand = ris_m
+
+    us, seed = tea_batch_major(seed, 3 * m_cand)       # [3M, N]
+    u_sel, xi1, xi2 = us[0::3], us[1::3], us[2::3]     # [M, N] each
+
+    shade_origin = pv.add(pos, pv.scale(flat, _BIAS))
+
+    rec = _select_lights(_light_tables(scene), lights.cdf, u_sel)
+    lv0 = (rec[0], rec[1], rec[2])
+    lv1 = (rec[3], rec[4], rec[5])
+    lv2 = (rec[6], rec[7], rec[8])
+    nl = (rec[9], rec[10], rec[11])
+    pdf_l = rec[12]
+    emission = (rec[13], rec[14], rec[15])
+
+    bu, bv, bw = fold_barycentric(xi1, xi2)
+    point = tuple(bu * a + bv * b + bw * c for a, b, c in zip(lv0, lv1, lv2))
+
+    l_vec = pv.sub(point, shade_origin)                # [M, N] via broadcast
+    dist2 = jnp.maximum(pv.dot(l_vec, l_vec), _EPS)
+    dist = jnp.maximum(jnp.sqrt(dist2), _EPS)
+    l_norm = pv.scale(l_vec, 1.0 / dist)
+
+    # v5 does NOT flip the light normal toward the shading point
+    cosx = jnp.maximum(_EPS, pv.dot(normal, l_norm))
+    cosy = jnp.maximum(_EPS, pv.dot(nl, pv.neg(l_norm)))
+    g = jnp.maximum(cosx * cosy / dist2, _EPS)
+
+    brdf = bsdf.eval_bsdf_p(
+        strategy, mat["kd"], mat["ks"], mat["rough"], mat["lut"],
+        normal, l_norm, outgoing,
+    )
     pdf_b = jnp.maximum(
-        bsdf.pdf_bsdf(
-            strategy[:, None], mat["rough"][:, None],
-            normal[:, None, :], -l_norm, outgoing[:, None, :],
-        ),
-        _EPS,
+        bsdf.pdf_bsdf_p(strategy, mat["rough"], normal, l_norm, outgoing), _EPS
     )
 
-    f = emission * brdf * g[..., None]
+    f = pv.mul(emission, pv.scale(brdf, g))
     # HLSL truncation quirk: the scalar "luminance" takes channel 0 of
     # avg(Ke)*brdf*G (Hit.hlsl:280-281 assigns float3 to float)
-    lum = m3.luminance_avg(emission) * brdf[..., 0] * g
-    wi = (1.0 / ris_m) * lum / pdf_l                    # [N, M]
+    lum = pv.avg(emission) * brdf[0] * g
+    wi = (1.0 / m_cand) * lum / pdf_l                  # [M, N]
 
-    cdf = jnp.cumsum(wi, axis=-1)
-    total = cdf[:, -1]
-    u_ris, seed = tea_random(seed)                      # Hit.hlsl:300
+    cdf = jnp.cumsum(wi, axis=0)
+    total = cdf[-1]
+    u_ris, seed = tea_random(seed)                     # Hit.hlsl:300
     thr = u_ris * total
-    sel = jnp.argmax(thr[:, None] < cdf, axis=-1)       # first True, else 0
+    sel = jnp.argmax(thr < cdf, axis=0)                # first True, else 0
+    hot = sel == jax.lax.iota(jnp.int32, m_cand)[:, None]  # [M, N] one-hot
 
-    def pick(arr):
-        if arr.ndim == 3:
-            return jnp.take_along_axis(arr, sel[:, None, None], axis=1)[:, 0]
-        return jnp.take_along_axis(arr, sel[:, None], axis=1)[:, 0]
+    def pick(x):
+        return jnp.sum(jnp.where(hot, x, 0.0), axis=0)
 
-    f_sel = pick(f)
+    f_sel = tuple(pick(c) for c in f)
     lum_sel = pick(lum)
     # WX = 1/max(EPS, p_hat) * w_sum (Hit.hlsl:312)
     wx = jnp.maximum(_EPS, 1.0 / jnp.maximum(_EPS, lum_sel) * total)
 
-    ldir_sel = pick(l_norm)
+    ldir_sel = tuple(pick(c) for c in l_norm)
     dist_sel = pick(dist)
     cosy_sel = pick(cosy)
     pdfb_sel = pick(pdf_b)
     pdfl_sel = pick(pdf_l)
 
+    so_aos = pv.to_aos(shade_origin)
+    ld_aos = pv.to_aos(ldir_sel)
     t_min_s = dist_sel * 0.0 + _BIAS
     if use_bvh:
-        occluded = any_hit_bvh(shade_origin, ldir_sel, scene.bvh,
+        occluded = any_hit_bvh(so_aos, ld_aos, scene.bvh,
                                t_min_s, dist_sel - _BIAS)
     else:
-        occluded = any_hit_brute(shade_origin, ldir_sel, scene.tri_verts,
+        occluded = any_hit_brute(so_aos, ld_aos, scene.tri_verts,
                                  t_min_s, dist_sel - _BIAS)
     visible = jnp.where(occluded, 0.0, 1.0)
 
-    direct = f_sel * (visible * wx)[:, None]
+    direct = pv.scale(f_sel, visible * wx)
     pdf_l_sa = jnp.maximum(_EPS, pdfl_sel * dist_sel * dist_sel / cosy_sel)
     weight_light = pdf_l_sa / (pdf_l_sa + pdfb_sel)
-    return direct * weight_light[:, None], seed
+    return pv.scale(direct, weight_light), seed
 
 
 def bounce_step(scene: SceneArrays, st: dict, bounce: jax.Array, cfg: RenderConfig) -> dict:
@@ -180,30 +261,31 @@ def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
         else:
             hit = closest_hit_brute(st["origin"], st["direction"], scene.tri_verts,
                                     t_min=_T_MIN, t_max=_T_MAX)
+        origin = pv.from_aos(st["origin"], axis=1)
+        direction = pv.from_aos(st["direction"], axis=1)
+        throughput = pv.from_aos(st["throughput"], axis=1)
+
         valid = st["alive"] & hit.valid
-        pos = st["origin"] + hit.t[:, None] * st["direction"]
-        _, normal, flat, _ = interpolate_hit(
-            hit, scene.tri_verts, scene.tri_normals, st["direction"]
+        pos = pv.add(origin, pv.scale(direction, hit.t))
+        _, normal, flat, area = interpolate_hit_p(
+            hit, scene.tri_verts, scene.tri_normals
         )
         # flip both normals toward the ray origin (Hit.hlsl:108-111)
-        to_viewer = -st["direction"]
-        normal = jnp.where((m3.dot(normal, to_viewer) < 0.0)[:, None], -normal, normal)
-        flat = jnp.where((m3.dot(flat, to_viewer) < 0.0)[:, None], -flat, flat)
+        to_viewer = pv.neg(direction)
+        normal = pv.where(pv.dot(normal, to_viewer) < 0.0, pv.neg(normal), normal)
+        flat = pv.where(pv.dot(flat, to_viewer) < 0.0, pv.neg(flat), flat)
 
         mat_id = scene.tri_material[hit.tri]
         mat = _fetch_material(scene, mat_id)
-        is_emissive = m3.length(mat["ke"]) > 0.0
+        is_emissive = pv.length(mat["ke"]) > 0.0
 
         # ---- emissive hit: MIS-weighted termination (Hit.hlsl:126-174);
         # at bounce 0 the weight is 1 (throughput is still 1 there too)
-        l_vec = pos - st["origin"]
-        dist2 = jnp.maximum(m3.dot(l_vec, l_vec), _EPS)
-        l_norm = l_vec * jax.lax.rsqrt(dist2)[:, None]
-        cos_emissive = jnp.maximum(_EPS, m3.dot(normal, -l_norm))
-        tv = scene.tri_verts[hit.tri]
-        cr = jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
-        area = jnp.abs(0.5 * m3.length(cr))
-        avg_ke = m3.luminance_avg(mat["ke"])
+        l_vec = pv.sub(pos, origin)
+        dist2 = jnp.maximum(pv.dot(l_vec, l_vec), _EPS)
+        l_norm = pv.scale(l_vec, jax.lax.rsqrt(dist2))
+        cos_emissive = jnp.maximum(_EPS, pv.dot(normal, pv.neg(l_norm)))
+        avg_ke = pv.avg(mat["ke"])
         weight_tri = area * avg_ke / jnp.maximum(scene.lights.total_weight, _EPS)
         if cfg.reference_mis_quirk:
             pdf_l = jnp.maximum(_EPS, weight_tri * dist2 / cos_emissive)
@@ -213,65 +295,71 @@ def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
             )
         w_mis = st["pdf_prev"] / (st["pdf_prev"] + pdf_l)
         w_mis = jnp.where(bounce == 0, 1.0, w_mis)
-        emissive_contrib = mat["ke"] * st["throughput"] * w_mis[:, None]
+        emissive_contrib = pv.scale(pv.mul(mat["ke"], throughput), w_mis)
 
         # ---- non-emissive: strategy select, RIS NEE, BSDF continuation
-        outgoing = -st["direction"]
-        strategy, _, seed = bsdf.select_strategy(
+        outgoing = to_viewer
+        strategy, _, seed = bsdf.select_strategy_p(
             mat["ks"], mat["metal"], mat["rough"], normal, outgoing, st["seed"]
         )
         direct, seed = _ris_nee(
             scene, mat, pos, normal, flat, outgoing, strategy, seed, cfg.ris_m,
             use_bvh=cfg.use_bvh,
         )
-        direct = direct * st["throughput"]
+        direct = pv.mul(direct, throughput)
 
-        new_dir, seed = bsdf.sample_bsdf(
+        new_dir, seed = bsdf.sample_bsdf_p(
             strategy, mat["ks"], mat["rough"], outgoing, normal, seed
         )
         pdf_sample = jnp.maximum(
-            bsdf.pdf_bsdf(strategy, mat["rough"], normal, -new_dir, outgoing), 1e-4
+            bsdf.pdf_bsdf_p(strategy, mat["rough"], normal, new_dir, outgoing), 1e-4
         )
-        brdf_sample = bsdf.eval_bsdf(
+        brdf_sample = bsdf.eval_bsdf_p(
             strategy, mat["kd"], mat["ks"], mat["rough"], mat["lut"],
-            normal, -new_dir, outgoing,
+            normal, new_dir, outgoing,
         )
-        cos_new = m3.dot(normal, new_dir)
-        new_throughput = st["throughput"] * brdf_sample * (cos_new / pdf_sample)[:, None]
+        cos_new = pv.dot(normal, new_dir)
+        new_throughput = pv.mul(throughput, pv.scale(brdf_sample, cos_new / pdf_sample))
 
         shade_mask = valid & ~is_emissive
         emis_mask = valid & is_emissive
 
-        contrib = (
-            jnp.where(shade_mask[:, None], jnp.abs(direct), 0.0)
-            + jnp.where(emis_mask[:, None], jnp.abs(emissive_contrib), 0.0)
+        contrib = tuple(
+            jnp.where(shade_mask, jnp.abs(d), 0.0)
+            + jnp.where(emis_mask, jnp.abs(e), 0.0)
+            for d, e in zip(direct, emissive_contrib)
         )
 
         alive = shade_mask
-        throughput = jnp.where(shade_mask[:, None], new_throughput, st["throughput"])
+        throughput = pv.where(shade_mask, new_throughput, throughput)
         seed = jnp.where(shade_mask[:, None], seed, st["seed"])
 
         # ---- russian roulette (RayGen.hlsl:118-130), active when
         # bounce > rr_threshold
         u_rr, seed_rr = tea_random(seed)
-        q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+        q = jnp.clip(
+            jnp.maximum(jnp.maximum(throughput[0], throughput[1]), throughput[2]),
+            0.05, 1.0,
+        )
         rr_on = (bounce > cfg.rr_threshold) & alive
         kill = rr_on & (u_rr > q)
         alive = alive & ~kill
-        throughput = jnp.where(
-            (rr_on & alive)[:, None], throughput / q[:, None], throughput
-        )
+        rr_scale = jnp.where(rr_on & alive, 1.0 / q, 1.0)
+        throughput = pv.scale(throughput, rr_scale)
         seed = jnp.where(rr_on[:, None], seed_rr, seed)
 
+        new_origin = pv.where(shade_mask, pv.add(pos, pv.scale(flat, _BIAS)), origin)
+        new_direction = pv.where(shade_mask, new_dir, direction)
+        prev_n = pv.where(shade_mask, normal, pv.from_aos(st["prev_normal"], axis=1))
         return dict(
-            origin=jnp.where(shade_mask[:, None], pos + _BIAS * flat, st["origin"]),
-            direction=jnp.where(shade_mask[:, None], new_dir, st["direction"]),
-            throughput=throughput,
+            origin=pv.to_aos(new_origin, axis=1),
+            direction=pv.to_aos(new_direction, axis=1),
+            throughput=pv.to_aos(throughput, axis=1),
             pdf_prev=jnp.where(shade_mask, pdf_sample, st["pdf_prev"]),
             seed=seed,
-            emission=st["emission"] + contrib,
+            emission=st["emission"] + pv.to_aos(contrib, axis=1),
             alive=alive,
-            prev_normal=jnp.where(shade_mask[:, None], normal, st["prev_normal"]),
+            prev_normal=pv.to_aos(prev_n, axis=1),
             # closest-hit rays for every lane entering the bounce + one
             # shadow ray per shaded lane
             rays=st["rays"]

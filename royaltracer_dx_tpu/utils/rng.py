@@ -100,6 +100,28 @@ def tea_batch(seed: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return u, new_seed
 
 
+def tea_batch_major(seed: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """``tea_batch`` with the draw index MAJOR: returns (u [n, ...], seed).
+
+    For [N]-lane seeds this produces [n, N] — the TPU-friendly layout
+    (lanes stay full; ``tea_batch``'s [N, n] puts n in the lane dim and
+    wastes 128-n lanes on every downstream op).  Same PRF as ``tea_batch``
+    (identical counters), so values match its output transposed.
+    """
+    shape = (n,) + (1,) * seed[..., 0].ndim
+    i = jnp.arange(n, dtype=jnp.uint32).reshape(shape)
+    v0 = seed[..., 0][None] + i * _CTR_X
+    v1 = seed[..., 1][None] ^ (i * _CTR_Y)
+    s = jnp.uint32(0)
+    for _ in range(4):
+        s = s + _DELTA
+        v0 = v0 + (((v1 << 4) + _K0) ^ (v1 + s) ^ ((v1 >> 5) + _K1))
+        v1 = v1 + (((v0 << 4) + _K2) ^ (v0 + s) ^ ((v0 >> 5) + _K3))
+    u = v0.astype(jnp.float32) / jnp.float32(4294967296.0)
+    _, new_seed = tea_random(seed)
+    return u, new_seed
+
+
 def pixel_seed(
     x: jax.Array, y: jax.Array, stream: int | jax.Array, time: jax.Array
 ) -> jax.Array:
