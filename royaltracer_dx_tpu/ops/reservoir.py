@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from royaltracer_dx_tpu.utils import math3d as m3
+from royaltracer_dx_tpu.utils import pvec as pv
 from royaltracer_dx_tpu.utils.rng import tea_random
 
 
@@ -137,3 +138,74 @@ def is_valid_gi(r: ReservoirGI) -> jax.Array:
 def get_w(w_sum: jax.Array, p_hat: jax.Array, eps: float = 1e-6) -> jax.Array:
     """W = w_sum / p_hat, 0 when p_hat ~ 0 (Sampler_v6.hlsl:183-195)."""
     return jnp.where(p_hat > eps, w_sum / jnp.maximum(p_hat, eps), 0.0)
+
+
+# ========================== planar (TPU) form ===========================
+#
+# Inside the pass kernels reservoirs live as dicts of component PLANES
+# (vectors as (x, y, z) tuples, utils/pvec.py) so all math stays full-lane;
+# the AoS structs above remain the persistent inter-frame / checkpoint form.
+
+
+def di_to_planes(r: ReservoirDI) -> dict:
+    return dict(x2=pv.from_aos(r.x2, 1), n2=pv.from_aos(r.n2, 1),
+                l2=pv.from_aos(r.l2, 1), w_sum=r.w_sum, w=r.w, m=r.m)
+
+
+def planes_to_di(d: dict) -> ReservoirDI:
+    return ReservoirDI(x2=pv.to_aos(d["x2"], 1), n2=pv.to_aos(d["n2"], 1),
+                       l2=pv.to_aos(d["l2"], 1), w_sum=d["w_sum"], w=d["w"],
+                       m=d["m"])
+
+
+def gi_to_planes(r: ReservoirGI) -> dict:
+    return dict(xn=pv.from_aos(r.xn, 1), nn=pv.from_aos(r.nn, 1),
+                e3=pv.from_aos(r.e3, 1), w_sum=r.w_sum, w=r.w, m=r.m)
+
+
+def planes_to_gi(d: dict) -> ReservoirGI:
+    return ReservoirGI(xn=pv.to_aos(d["xn"], 1), nn=pv.to_aos(d["nn"], 1),
+                       e3=pv.to_aos(d["e3"], 1), w_sum=d["w_sum"], w=d["w"],
+                       m=d["m"])
+
+
+def sdata_to_planes(s: SampleData) -> dict:
+    return dict(x1=pv.from_aos(s.x1, 1), n1=pv.from_aos(s.n1, 1),
+                o=pv.from_aos(s.o, 1), l1=pv.from_aos(s.l1, 1),
+                mid=s.mid, obj=s.obj)
+
+
+def planes_to_sdata(d: dict) -> SampleData:
+    return SampleData(x1=pv.to_aos(d["x1"], 1), n1=pv.to_aos(d["n1"], 1),
+                      o=pv.to_aos(d["o"], 1), l1=pv.to_aos(d["l1"], 1),
+                      mid=d["mid"], obj=d["obj"])
+
+
+def update_reservoir_p(r: dict, keys: tuple, accept_mask, wi, m_add,
+                       sample: tuple, seed):
+    """Planar UpdateReservoir (Reservoir_v6.hlsl:30-80) for either flavor.
+
+    r: planar reservoir dict; keys: the 3 vec field names (('x2','n2','l2')
+    or ('xn','nn','e3')); sample: matching tuple of planar vecs.
+    Returns (reservoir dict, took, seed)."""
+    u, seed = tea_random(seed)
+    w_sum = jnp.where(accept_mask, r["w_sum"] + wi, r["w_sum"])
+    m = jnp.where(accept_mask, r["m"] + m_add, r["m"])
+    take = accept_mask & (u < wi / jnp.where(w_sum == 0.0, 1.0, w_sum))
+    out = dict(r, w_sum=w_sum, m=m)
+    for key, vec in zip(keys, sample):
+        out[key] = pv.where(take, vec, r[key])
+    return out, take, seed
+
+
+def is_valid_di_p(r: dict) -> jax.Array:
+    return (
+        (pv.length(r["n2"]) > 0.0)
+        & (pv.length(r["l2"]) > 0.0)
+        & (r["w_sum"] > 0.0)
+        & (r["m"] > 0.0)
+    )
+
+
+def is_valid_gi_p(r: dict) -> jax.Array:
+    return (r["w_sum"] > 0.0) & (r["m"] > 0.0)

@@ -25,11 +25,13 @@ from royaltracer_dx_tpu.ops.intersect import (
     any_hit_brute,
     closest_hit_brute,
     interpolate_hit,
+    interpolate_hit_p,
 )
 from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
-from royaltracer_dx_tpu.utils.rng import tea_batch, tea_random
+from royaltracer_dx_tpu.utils import pvec as pv
+from royaltracer_dx_tpu.utils.rng import tea_batch, tea_batch_major, tea_random
 
 _T_MAX = 1e4
 
@@ -362,7 +364,339 @@ def jacobian_reconnection(x1_r, x1_q, x2q, n2q):
     return (cos_q / jnp.maximum(cos_r, 1e-20)) * (len_r / jnp.maximum(len_q, 1e-20))
 
 
+# ========================== planar (TPU) core ===========================
+#
+# Planar-vec variants of the functions above (tuples of component planes,
+# utils/pvec.py): the pass kernels run entirely in this form — an [N, 3]
+# AoS op wastes 125/128 VPU lanes, and per-lane table reads become one-hot
+# select loops / packed wide-row gathers instead of ~7 ns/row gathers.
+# The AoS versions above remain as the reference-shaped API (aov, tests).
+
+# Above this material count the one-hot select loop loses to a row gather.
+_ONEHOT_MAT_MAX = 32
+
+
+def fetch_material_p(scene: SceneArrays, mid: jax.Array) -> dict:
+    """Planar MaterialOptimized fetch; sentinel ids map to the default miss
+    material (Common_v6.hlsl:70-74: zeros, LUT=1)."""
+    sentinel = mid == jnp.uint32(MISS_MATERIAL_ID).astype(jnp.int32)
+    mats = scene.materials
+    count = mats.count
+
+    if count <= _ONEHOT_MAT_MAX:
+        def sel(col, miss):
+            acc = jnp.full(mid.shape, col[0], col.dtype)
+            for i in range(1, count):
+                acc = jnp.where(mid == i, col[i], acc)
+            return jnp.where(sentinel, miss, acc)
+
+        return dict(
+            kd=tuple(sel(mats.kd[:, c], 0.0) for c in range(3)),
+            ks=tuple(sel(mats.ks[:, c], 0.0) for c in range(3)),
+            ke=tuple(sel(mats.ke[:, c], 0.0) for c in range(3)),
+            rough=sel(mats.pr_pm_ps_pc[:, 0], 0.0),
+            metal=sel(mats.pr_pm_ps_pc[:, 1], 0.0),
+            lut=tuple(sel(mats.lut[:, k], 1.0) for k in range(16)),
+        )
+
+    packed = jnp.concatenate(
+        [mats.kd[:, :3], mats.ks, mats.ke, mats.pr_pm_ps_pc[:, :2], mats.lut],
+        axis=1,
+    )
+    safe = jnp.where(sentinel, 0, mid)
+    row = packed[safe]  # [N, 27] single wide gather
+    z = lambda v, miss: jnp.where(sentinel, miss, v)  # noqa: E731
+    return dict(
+        kd=tuple(z(row[..., c], 0.0) for c in range(3)),
+        ks=tuple(z(row[..., 3 + c], 0.0) for c in range(3)),
+        ke=tuple(z(row[..., 6 + c], 0.0) for c in range(3)),
+        rough=z(row[..., 9], 0.0),
+        metal=z(row[..., 10], 0.0),
+        lut=tuple(z(row[..., 11 + k], 1.0) for k in range(16)),
+    )
+
+
+def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
+                    t_min=1e-4) -> dict:
+    """Planar trace_closest: AoS [N,3] rays in, planar hit record out
+    (pos/normal as planes; v6 semantics — no normal flip toward the ray)."""
+    if cfg.use_bvh:
+        hit = closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=_T_MAX)
+    else:
+        hit = closest_hit_brute(origins, dirs, scene.tri_verts,
+                                t_min=t_min, t_max=_T_MAX)
+    o = pv.from_aos(origins, axis=1)
+    d = pv.from_aos(dirs, axis=1)
+    pos = pv.add(o, pv.scale(d, hit.t))
+    _, normal, _, area = interpolate_hit_p(hit, scene.tri_verts, scene.tri_normals)
+    valid = hit.valid
+    zero = pv.splat(0.0)
+    return dict(
+        pos=pv.where(valid, pos, zero),
+        normal=pv.where(valid, normal, zero),
+        area=jnp.where(valid, area, 0.0),
+        mid=jnp.where(valid, scene.tri_material[hit.tri],
+                      jnp.uint32(MISS_MATERIAL_ID).astype(jnp.int32)),
+        obj=jnp.where(valid, scene.tri_instance[hit.tri], 0),
+        valid=valid,
+    )
+
+
+def visibility_check_p(scene, x1, n1, direction, dist, cfg) -> jax.Array:
+    """Planar V in {0,1} (Sampler_v6.hlsl:86-104)."""
+    o = pv.add(x1, pv.scale(pv.normalize(n1), S_BIAS))
+    t_max = jnp.maximum(dist - 10.0 * S_BIAS, 2.0 * S_BIAS)
+    occ = trace_occluded(scene, pv.to_aos(o), pv.to_aos(direction),
+                         jnp.zeros_like(dist), t_max, cfg)
+    return jnp.where(occ, 0.0, 1.0)
+
+
+def reconnect_di_p(x1, n1, x2, n2, l2, outgoing, mat):
+    """Planar ReconnectDI (Sampler_v6.hlsl:106-131).  Returns a planar vec."""
+    d = pv.sub(x2, x1)
+    dist2 = pv.dot(d, d)
+    dn = pv.normalize(d)
+    cos1 = jnp.maximum(0.0, pv.dot(n1, dn))
+    n2f = pv.where(pv.dot(n2, pv.neg(dn)) < 0.0, pv.neg(n2), n2)
+    cos2 = jnp.maximum(0.0, pv.dot(n2f, pv.neg(dn)))
+    f = bsdf.eval_bsdf_blend_p(
+        mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
+        n1, dn, pv.normalize(outgoing),
+    )
+    g = cos1 * cos2 / jnp.maximum(dist2, 1e-20)
+    return pv.scale(pv.mul(f, l2), g)
+
+
+def reconnect_gi_p(x1, n1, xn, e3, outgoing, mat):
+    """Planar GI reconnection (Sampler_v6.hlsl:134-161); non-finite zeroed."""
+    d = pv.sub(xn, x1)
+    dn = pv.normalize(d)
+    cos1 = jnp.abs(pv.dot(n1, dn))
+    f = bsdf.eval_bsdf_blend_p(
+        mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
+        n1, dn, pv.normalize(outgoing),
+    )
+    fr = pv.mul(pv.scale(f, cos1), e3)
+    finite = (
+        jnp.isfinite(fr[0]) & jnp.isfinite(fr[1]) & jnp.isfinite(fr[2])
+    )
+    return pv.where(finite, fr, pv.splat(0.0))
+
+
+def get_p_hat_di_p(scene, x1, n1, x2, n2, l2, outgoing, mat, use_visibility, cfg):
+    """Planar p-hat = |ReconnectDI| (x V) (Sampler_v6.hlsl:163-171)."""
+    f = pv.length(reconnect_di_p(x1, n1, x2, n2, l2, outgoing, mat))
+    if use_visibility:
+        d = pv.sub(x2, x1)
+        dist = pv.length(d)
+        f = f * visibility_check_p(scene, x1, n1, pv.normalize(d), dist, cfg)
+    return f
+
+
+def get_p_hat_gi_p(scene, x1, n1, xn, e3, outgoing, mat, use_visibility, cfg):
+    """Planar float3 p-hat for GI (Sampler_v6.hlsl:173-181)."""
+    f = reconnect_gi_p(x1, n1, xn, e3, outgoing, mat)
+    if use_visibility:
+        d = pv.sub(xn, x1)
+        dist = pv.length(d)
+        v = visibility_check_p(scene, x1, n1, pv.normalize(d), dist, cfg)
+        f = pv.scale(f, v)
+    return f
+
+
+def nee_candidates_p(scene, x1, normal, outgoing, mat, seed, m_count):
+    """Planar, CANDIDATE-MAJOR SampleLightNEE batch (Sampler_v6.hlsl:273-396,
+    visibility OFF as in SampleRIS).
+
+    x1/normal/outgoing planar [N]; returns dict of [M, N] planes/vecs:
+    p_hat, pdf_light (area), pdf_bsdf (area), x2, n2, emission, l_norm,
+    dist; plus the advanced seed.
+    """
+    lights = scene.lights
+    us, seed = tea_batch_major(seed, 3 * m_count)      # [3M, N]
+    u_sel, xi1, xi2 = us[0::3], us[1::3], us[2::3]
+
+    rec = light_sampling.select_light_records(
+        light_sampling.light_tables(lights, scene.object_to_world),
+        lights.cdf, u_sel,
+    )
+    lv0, lv1, lv2 = (rec[0], rec[1], rec[2]), (rec[3], rec[4], rec[5]), (rec[6], rec[7], rec[8])
+    nl = (rec[9], rec[10], rec[11])
+    pdf_l = rec[12]
+    emission = (rec[13], rec[14], rec[15])
+
+    bu, bv, bw = light_sampling.fold_barycentric(xi1, xi2)
+    point = tuple(bu * a + bv * b + bw * c for a, b, c in zip(lv0, lv1, lv2))
+
+    l_vec = pv.sub(point, x1)                          # [M, N] broadcast
+    dist2 = pv.dot(l_vec, l_vec)
+    dist = jnp.sqrt(jnp.maximum(dist2, EPSILON))
+    l_norm = pv.scale(l_vec, 1.0 / jnp.maximum(dist, 1e-20))
+
+    nl = pv.where(pv.dot(nl, pv.neg(l_norm)) < 0.0, pv.neg(nl), nl)  # v6 flips
+
+    cos_x = pv.dot(normal, l_norm)
+    cos_y = pv.dot(nl, pv.neg(l_norm))
+    g = jnp.maximum(cos_y * cos_x / jnp.maximum(dist2, EPSILON), EPSILON)
+
+    ob = pv.normalize(outgoing)
+    brdf = bsdf.eval_bsdf_blend_p(
+        mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
+        normal, l_norm, ob,
+    )
+    pdf_b = bsdf.pdf_bsdf_blend_p(
+        mat["ks"], mat["metal"], mat["rough"], normal, l_norm, ob,
+    ) * cos_y / jnp.maximum(dist2, EPSILON)
+    pdf_b = jnp.where(jnp.isfinite(pdf_b), pdf_b, 0.0)
+
+    p_hat = pv.length(pv.scale(pv.mul(emission, brdf), g))
+    return dict(
+        p_hat=p_hat,
+        pdf_light=jnp.maximum(pdf_l, EPSILON),
+        pdf_bsdf=pdf_b,
+        x2=point,
+        n2=nl,
+        emission=emission,
+        l_norm=l_norm,
+        dist=dist,
+    ), seed
+
+
+def bsdf_candidate_p(scene, x1, normal, outgoing, mat, strategy, seed, cfg):
+    """Planar SampleLightBSDF (Sampler_v6.hlsl:199-271): sample lobe, trace,
+    MIS pdfs.  All planar [N]."""
+    nrm_o = pv.normalize(outgoing)
+    sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
+                                      nrm_o, normal, seed)
+    hit = trace_closest_p(scene, pv.to_aos(x1), pv.to_aos(sample), cfg,
+                          t_min=S_BIAS)
+    hmat = fetch_material_p(scene, hit["mid"])
+    ke = hmat["ke"]
+    is_light = pv.avg(ke) * 3.0 > EPSILON
+
+    l_vec = pv.sub(hit["pos"], x1)
+    dist2 = jnp.maximum(pv.dot(l_vec, l_vec), EPSILON)
+    cos_t = pv.dot(hit["normal"], pv.neg(sample))
+    # the reference's emissive pdf omits 1/area (quirk kept; cf. megakernel)
+    pdf_light = pv.avg(ke) / jnp.maximum(scene.lights.total_weight, EPSILON)
+
+    brdf = bsdf.eval_bsdf_blend_p(
+        mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
+        normal, sample, nrm_o,
+    )
+    pdf_b = bsdf.pdf_bsdf_blend_p(
+        mat["ks"], mat["metal"], mat["rough"], normal, sample, nrm_o,
+    ) * cos_t / dist2
+    pdf_b = jnp.where(jnp.isfinite(pdf_b), pdf_b, 0.0)
+
+    ndot = pv.dot(normal, sample)
+    p_hat = pv.length(pv.scale(pv.mul(brdf, ke), ndot * cos_t / dist2))
+    p_hat = jnp.where(is_light & hit["valid"], p_hat, 0.0)
+    return dict(
+        p_hat=p_hat,
+        pdf_light=jnp.where(is_light, pdf_light, 0.0),
+        pdf_bsdf=pdf_b,
+        x2=hit["pos"],
+        n2=hit["normal"],
+        emission=ke,
+    ), seed
+
+
+def jacobian_reconnection_p(x1_r, x1_q, x2q, n2q):
+    """Planar reconnection-shift Jacobian (Sampler_v6.hlsl:48-68)."""
+    vq = pv.sub(x2q, x1_q)
+    vr = pv.sub(x2q, x1_r)
+    nrm = pv.normalize(n2q)
+    cos_q = jnp.abs(pv.dot(pv.normalize(pv.neg(vq)), nrm))
+    cos_r = jnp.abs(pv.dot(pv.normalize(pv.neg(vr)), nrm))
+    len_q = pv.dot(vq, vq)
+    len_r = pv.dot(vr, vr)
+    return (cos_q / jnp.maximum(cos_r, 1e-20)) * (len_r / jnp.maximum(len_q, 1e-20))
+
+
+def reject_normal_p(n1, n2, threshold):
+    return pv.dot(n1, n2) < threshold
+
+
+def reject_distance_p(x1, x2, cam_pos, threshold):
+    d1 = pv.length(pv.sub(x1, cam_pos))
+    d2 = pv.length(pv.sub(x2, cam_pos))
+    rel = jnp.abs(d1 - d2) / jnp.maximum(jnp.maximum(d1, d2), 1e-20)
+    return rel > threshold
+
+
+def reject_below_surface_p(d, n):
+    return pv.dot(d, n) < 0.0
+
+
 # --------------------------- reprojection -------------------------------
+
+
+def reproject_to_prev_pixel_p(scene, world_pos, obj, prev_view, prev_proj,
+                              width, height):
+    """Planar GetBestReprojectedPixel_d (Sampler_v6.hlsl:738-785).
+
+    world_pos: planar vec; obj: [N] int32.  The per-lane 3x3 inverse is an
+    explicit adjugate on component planes (jnp.linalg.inv over [N,3,3]
+    batches is catastrophically slow on TPU), and the per-instance
+    transforms come from a one-hot select over the (small) instance table.
+    Returns (px, py) int32 with (-1,-1) when behind the camera."""
+    i_count = scene.object_to_world.shape[0]
+    cur16 = scene.object_to_world.reshape(i_count, 16)
+    prev16 = scene.prev_object_to_world.reshape(i_count, 16)
+
+    def sel(col):
+        acc = jnp.full(obj.shape, col[0], col.dtype)
+        for i in range(1, i_count):
+            acc = jnp.where(obj == i, col[i], acc)
+        return acc
+
+    if i_count <= 32:
+        cur = [sel(cur16[:, k]) for k in range(12)]
+        prev = [sel(prev16[:, k]) for k in range(12)]
+    else:
+        rows_c = cur16[obj]
+        rows_p = prev16[obj]
+        cur = [rows_c[:, k] for k in range(12)]
+        prev = [rows_p[:, k] for k in range(12)]
+
+    # row-major [r00 r01 r02 t0 | r10 r11 r12 t1 | r20 r21 r22 t2]
+    r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2 = cur
+    # adjugate inverse of the rotation/scale block
+    c00 = r11 * r22 - r12 * r21
+    c01 = r02 * r21 - r01 * r22
+    c02 = r01 * r12 - r02 * r11
+    c10 = r12 * r20 - r10 * r22
+    c11 = r00 * r22 - r02 * r20
+    c12 = r02 * r10 - r00 * r12
+    c20 = r10 * r21 - r11 * r20
+    c21 = r01 * r20 - r00 * r21
+    c22 = r00 * r11 - r01 * r10
+    det = r00 * c00 + r01 * c01 + r02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    dx = world_pos[0] - t0
+    dy = world_pos[1] - t1
+    dz = world_pos[2] - t2
+    lx = (c00 * dx + c01 * dy + c02 * dz) * inv_det
+    ly = (c10 * dx + c11 * dy + c12 * dz) * inv_det
+    lz = (c20 * dx + c21 * dy + c22 * dz) * inv_det
+
+    p00, p01, p02, pt0, p10, p11, p12, pt1, p20, p21, p22, pt2 = prev
+    pwx = p00 * lx + p01 * ly + p02 * lz + pt0
+    pwy = p10 * lx + p11 * ly + p12 * lz + pt1
+    pwz = p20 * lx + p21 * ly + p22 * lz + pt2
+
+    vp = prev_proj @ prev_view  # 4x4, scalar entries
+    clip_x = vp[0, 0] * pwx + vp[0, 1] * pwy + vp[0, 2] * pwz + vp[0, 3]
+    clip_y = vp[1, 0] * pwx + vp[1, 1] * pwy + vp[1, 2] * pwz + vp[1, 3]
+    w = vp[3, 0] * pwx + vp[3, 1] * pwy + vp[3, 2] * pwz + vp[3, 3]
+    good = w > 0.0
+    inv_w = 1.0 / jnp.maximum(w, 1e-20)
+    ux = (clip_x * inv_w) * 0.5 + 0.5
+    uy = 1.0 - ((clip_y * inv_w) * 0.5 + 0.5)
+    px = jnp.round(ux * width).astype(jnp.int32)
+    py = jnp.round(uy * height).astype(jnp.int32)
+    return jnp.where(good, px, -1), jnp.where(good, py, -1)
 
 
 def reproject_to_prev_pixel(scene, world_pos, obj, prev_view, prev_proj,

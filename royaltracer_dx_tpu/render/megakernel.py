@@ -39,7 +39,11 @@ from royaltracer_dx_tpu.ops.intersect import (
     closest_hit_brute,
     interpolate_hit_p,
 )
-from royaltracer_dx_tpu.ops.light_sampling import fold_barycentric, light_world_verts
+from royaltracer_dx_tpu.ops.light_sampling import (
+    fold_barycentric,
+    light_tables,
+    select_light_records,
+)
 from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
@@ -52,9 +56,8 @@ _BIAS = 1e-5
 _T_MIN = 1e-4
 _T_MAX = 1e4
 
-# Above these table sizes, one-hot select loops lose to a row gather.
+# Above this table size, the one-hot select loop loses to a row gather.
 _ONEHOT_MAT_MAX = 32
-_ONEHOT_LIGHT_MAX = 32
 
 
 def _fetch_material(scene: SceneArrays, mat_id: jax.Array) -> dict:
@@ -98,55 +101,6 @@ def _fetch_material(scene: SceneArrays, mat_id: jax.Array) -> dict:
     )
 
 
-def _light_tables(scene: SceneArrays):
-    """World-space light table, computed once per bounce ([L]-sized work).
-
-    Returns per-light columns: verts (9), normal (3), pdf (1), emission
-    (3) — 16 scalars — mirroring the per-candidate math the reference does
-    inside SampleLightNEE (Hit.hlsl:196-258)."""
-    lights = scene.lights
-    l_count = lights.count
-    wv = light_world_verts(
-        scene.lights, scene.object_to_world, jnp.arange(l_count, dtype=jnp.int32)
-    )  # [L, 3, 3]
-    e1 = wv[:, 1] - wv[:, 0]
-    e2 = wv[:, 2] - wv[:, 0]
-    cr = jnp.cross(e1, e2)
-    area = jnp.abs(0.5 * m3.length(cr))
-    nl = m3.normalize(cr)
-    pdf = lights.weight / jnp.maximum(area, _EPS)
-    cols = [wv[:, k, c] for k in range(3) for c in range(3)]
-    cols += [nl[:, 0], nl[:, 1], nl[:, 2], pdf,
-             lights.emission[:, 0], lights.emission[:, 1], lights.emission[:, 2]]
-    return cols  # list of 16 [L] columns
-
-
-def _select_lights(cols, cdf, u_sel):
-    """CDF-pick a light per candidate, return its record planes.
-
-    u_sel: [M, N].  The searchsorted(side='right') of the reference's
-    binary search (Hit.hlsl:210-226) is a dense compare-count for small L;
-    record fields come from a one-hot select loop (no gathers) or a packed
-    row gather for big tables.
-    """
-    l_count = cdf.shape[0]
-    idx = jnp.zeros(u_sel.shape, jnp.int32)
-    for l in range(l_count - 1):  # count of cdf[l] <= u, clipped to L-1
-        idx = idx + (cdf[l] <= u_sel).astype(jnp.int32)
-
-    if l_count <= _ONEHOT_LIGHT_MAX:
-        out = []
-        for col in cols:
-            acc = jnp.full(u_sel.shape, col[0], col.dtype)
-            for l in range(1, l_count):
-                acc = jnp.where(idx == l, col[l], acc)
-            out.append(acc)
-        return out
-    packed = jnp.stack(cols, axis=1)          # [L, 16]
-    rows = packed[idx.reshape(-1)]            # [M*N, 16]
-    return [rows[:, k].reshape(u_sel.shape) for k in range(len(cols))]
-
-
 def _ris_nee(scene, mat, pos, normal, flat, outgoing, strategy, seed, ris_m,
              use_bvh=False):
     """RIS over ris_m NEE candidates + one shadow ray (Hit.hlsl:183-337).
@@ -168,7 +122,9 @@ def _ris_nee(scene, mat, pos, normal, flat, outgoing, strategy, seed, ris_m,
 
     shade_origin = pv.add(pos, pv.scale(flat, _BIAS))
 
-    rec = _select_lights(_light_tables(scene), lights.cdf, u_sel)
+    rec = select_light_records(
+        light_tables(lights, scene.object_to_world), lights.cdf, u_sel
+    )
     lv0 = (rec[0], rec[1], rec[2])
     lv1 = (rec[3], rec[4], rec[5])
     lv2 = (rec[6], rec[7], rec[8])

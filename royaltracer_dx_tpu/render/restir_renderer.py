@@ -14,9 +14,17 @@ Functional port of the three DispatchRays passes (Renderer.cpp:611-673):
           temporal accumulation with camera-motion reset, ping-pong of the
           'last' buffers
 
-All buffers are SoA pytrees over flat row-major pixels.  (The reference's
-4x4 MapPixelID swizzle, Common_v6.hlsl:173-198, is a GPU memory-layout
-optimization with no observable effect — row-major here.)
+TPU layout (see render/megakernel.py for the rationale):
+  * inside the passes everything is PLANAR (component planes, utils/pvec);
+    reservoirs/sample records cross pass boundaries as dicts of planes and
+    only materialize as the AoS structs for the persistent inter-frame
+    state (checkpointing keeps its format);
+  * neighbor taps (temporal reprojection, spatial disk) gather ONE packed
+    wide row per pixel instead of a dozen per-field row gathers (~7 ns/row
+    on TPU) — int fields ride along bitcast to f32;
+  * spatial candidate tries are TRY-MAJOR [T, N] so acceptance math keeps
+    the lanes full, and the chosen <=k neighbors are extracted with
+    one-hot selects over the 9 tries, not gathers.
 
 Intentional deviations (each documented at its site):
   * out-of-bounds reprojected pixels are rejected (the reference indexes
@@ -43,16 +51,22 @@ from royaltracer_dx_tpu.ops.reservoir import (
     ReservoirGI,
     SampleData,
     get_w,
-    is_valid_di,
-    is_valid_gi,
-    update_reservoir_di,
-    update_reservoir_gi,
+    is_valid_di_p,
+    is_valid_gi_p,
+    planes_to_di,
+    planes_to_gi,
+    planes_to_sdata,
+    update_reservoir_p,
 )
 from royaltracer_dx_tpu.render.framebuffer import Framebuffer, accumulate
 from royaltracer_dx_tpu.scene.scene import Scene
 from royaltracer_dx_tpu.utils import math3d as m3
-from royaltracer_dx_tpu.utils.rng import pixel_seed
+from royaltracer_dx_tpu.utils import pvec as pv
+from royaltracer_dx_tpu.utils.rng import pixel_seed, tea_batch_major
 from royaltracer_dx_tpu.utils.image import write_png  # noqa: F401 (convenience)
+
+_DI_KEYS = ("x2", "n2", "l2")
+_GI_KEYS = ("xn", "nn", "e3")
 
 
 def _pixel_grid(cfg):
@@ -64,6 +78,48 @@ def _sentinel(mid):
     return mid == jnp.uint32(MISS_MATERIAL_ID).astype(jnp.int32)
 
 
+def _zero_di(like: jax.Array) -> dict:
+    z = like * 0.0
+    zv = (z, z, z)
+    return dict(x2=zv, n2=zv, l2=zv, w_sum=z, w=z, m=z)
+
+
+# ----------------------- packed wide-row gathers -------------------------
+
+_F = jnp.float32
+_I = jnp.int32
+
+
+def _pack_record(sd: dict, res: dict, keys: tuple) -> jax.Array:
+    """sdata planes + reservoir planes -> one [N, 26] float array.
+
+    Column order: x1(3) n1(3) o(3) l1(3) mid obj | vec0(3) vec1(3) vec2(3)
+    w_sum w m.  Int ids are bitcast, not converted (the miss sentinel
+    doesn't survive a float round-trip)."""
+    cols = list(sd["x1"]) + list(sd["n1"]) + list(sd["o"]) + list(sd["l1"])
+    cols += [jax.lax.bitcast_convert_type(sd["mid"], _F),
+             jax.lax.bitcast_convert_type(sd["obj"], _F)]
+    for k in keys:
+        cols += list(res[k])
+    cols += [res["w_sum"], res["w"], res["m"]]
+    return jnp.stack(cols, axis=-1)
+
+
+def _unpack_record(rows: jax.Array, keys: tuple) -> tuple[dict, dict]:
+    """[..., 26] -> (sdata planes, reservoir planes) with [...] leaves."""
+    c = [rows[..., k] for k in range(rows.shape[-1])]
+    sd = dict(
+        x1=(c[0], c[1], c[2]), n1=(c[3], c[4], c[5]), o=(c[6], c[7], c[8]),
+        l1=(c[9], c[10], c[11]),
+        mid=jax.lax.bitcast_convert_type(c[12], _I),
+        obj=jax.lax.bitcast_convert_type(c[13], _I),
+    )
+    res = {keys[0]: (c[14], c[15], c[16]), keys[1]: (c[17], c[18], c[19]),
+           keys[2]: (c[20], c[21], c[22]),
+           "w_sum": c[23], "w": c[24], "m": c[25]}
+    return sd, res
+
+
 # ================================ PASS 1 =================================
 
 
@@ -71,71 +127,75 @@ def _sentinel(mid):
 def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig):
     """Primary trace + SampleRIS + visibility W (pass1:49-171).
 
-    Returns (reservoir_DI, sdata, gi_inputs dict, seed)."""
+    Returns (reservoir_DI planes, sdata planes, gi_inputs dict, seed)."""
     xs, ys = _pixel_grid(cfg)
     seed = pixel_seed(xs, ys, 1, frame)
     origins, dirs = generate_rays(cam, cfg.width, cfg.height, None)
     dirs = m3.normalize(dirs)
 
-    hit = restir.trace_closest(scene, origins, dirs, cfg, t_min=1e-4)
+    hit = restir.trace_closest_p(scene, origins, dirs, cfg, t_min=1e-4)
     mid = hit["mid"]
-    mat = restir.fetch_material(scene, mid)
-    emissive = m3.length(mat["ke"]) > 0.0
+    mat = restir.fetch_material_p(scene, mid)
+    emissive = pv.length(mat["ke"]) > 0.0
     sampling = hit["valid"] & ~emissive
+    zero = sampling.astype(jnp.float32) * 0.0
 
-    outgoing = -dirs
-    reservoir = ReservoirDI.zeros_like_lanes(origins)
+    outgoing = pv.neg(pv.from_aos(dirs, axis=1))
+    reservoir = _zero_di(zero)
 
     # ---- SampleRIS (Sampler_v6.hlsl:653-736)
-    strategy, _, seed = bsdf.select_strategy(
+    strategy, _, seed = bsdf.select_strategy_p(
         mat["ks"], mat["metal"], mat["rough"], hit["normal"], outgoing, seed
     )
     m1, m2 = cfg.nee_samples_di, cfg.bsdf_samples_di
-    cands, seed = restir.nee_candidates(
-        scene, hit["pos"], hit["normal"], outgoing, mat, strategy, seed, m1
+    cands, seed = restir.nee_candidates_p(
+        scene, hit["pos"], hit["normal"], outgoing, mat, seed, m1
     )
     # wi = mi * p_hat / pdf_candidate with the balance-heuristic mi; the
     # pdf cancels algebraically (wi = p_hat / (M1*pdf_l + M2*pdf_b)), which
     # avoids the 0/0 at clamped-pdf candidates
     for i in range(m1):
-        pdf_l = cands["pdf_light"][:, i]
-        pdf_b = cands["pdf_bsdf"][:, i]
-        p_hat = cands["p_hat"][:, i]
+        row = lambda v: tuple(cc[i] for cc in v)  # noqa: E731
+        pdf_l = cands["pdf_light"][i]
+        pdf_b = cands["pdf_bsdf"][i]
+        p_hat = cands["p_hat"][i]
         wi = p_hat / jnp.maximum(m1 * pdf_l + m2 * pdf_b, 1e-20)
         ok = sampling & (p_hat > 0.0) & jnp.isfinite(wi)
-        reservoir, _, seed = update_reservoir_di(
-            reservoir, ok, wi, jnp.zeros_like(wi),
-            cands["x2"][:, i], cands["n2"][:, i], cands["emission"][:, i], seed,
+        reservoir, _, seed = update_reservoir_p(
+            reservoir, _DI_KEYS, ok, wi, zero,
+            (row(cands["x2"]), row(cands["n2"]), row(cands["emission"])), seed,
         )
     for _ in range(m2):
-        bc, seed = restir.bsdf_candidate(
+        bc, seed = restir.bsdf_candidate_p(
             scene, hit["pos"], hit["normal"], outgoing, mat, strategy, seed, cfg
         )
         wi = bc["p_hat"] / jnp.maximum(m1 * bc["pdf_light"] + m2 * bc["pdf_bsdf"], 1e-20)
         ok = sampling & (bc["p_hat"] > 0.0) & jnp.isfinite(wi) & (bc["pdf_bsdf"] > 0.0)
-        reservoir, _, seed = update_reservoir_di(
-            reservoir, ok, wi, jnp.zeros_like(wi), bc["x2"], bc["n2"], bc["emission"], seed,
+        reservoir, _, seed = update_reservoir_p(
+            reservoir, _DI_KEYS, ok, wi, zero,
+            (bc["x2"], bc["n2"], bc["emission"]), seed,
         )
-    reservoir = reservoir.replace(m=jnp.where(sampling, 1.0, reservoir.m))
+    reservoir["m"] = jnp.where(sampling, 1.0, reservoir["m"])
 
-    sdata = SampleData(
-        x1=jnp.where(sampling[:, None], hit["pos"], 0.0),
-        n1=jnp.where(sampling[:, None], m3.normalize(hit["normal"]), 0.0),
-        o=jnp.where(sampling[:, None], outgoing, 0.0),
-        l1=jnp.where(hit["valid"][:, None], mat["ke"], 0.0),
+    zv = pv.splat(zero)
+    sdata = dict(
+        x1=pv.where(sampling, hit["pos"], zv),
+        n1=pv.where(sampling, pv.normalize(hit["normal"]), zv),
+        o=pv.where(sampling, outgoing, zv),
+        l1=pv.where(hit["valid"], mat["ke"], zv),
         mid=mid,
         obj=hit["obj"],
     )
 
     # visibility-checked W (pass1:166-167)
-    p_hat = restir.get_p_hat_di(
-        scene, sdata.x1, sdata.n1, reservoir.x2, reservoir.n2, reservoir.l2,
-        sdata.o, mat, True, cfg,
+    p_hat = restir.get_p_hat_di_p(
+        scene, sdata["x1"], sdata["n1"], reservoir["x2"], reservoir["n2"],
+        reservoir["l2"], sdata["o"], mat, True, cfg,
     )
-    reservoir = reservoir.replace(w=jnp.where(sampling, get_w(reservoir.w_sum, p_hat), 0.0))
+    reservoir["w"] = jnp.where(sampling, get_w(reservoir["w_sum"], p_hat), 0.0)
 
     gi_inputs = dict(
-        x1=sdata.x1, n1=hit["normal"], o=sdata.o, mid=mid, sampling=sampling
+        x1=sdata["x1"], n1=hit["normal"], o=sdata["o"], mid=mid, sampling=sampling
     )
     return reservoir, sdata, gi_inputs, seed
 
@@ -157,18 +217,16 @@ pass1_gi_bounce = jax.jit(restir_gi.gi_bounce, static_argnames=("cfg",))
 def pass1_gi_final(scene, gi_inputs, st, cfg: RenderConfig):
     """gi_finalize + W_GI (pass1:176-181)."""
     reservoir, _, seed = restir_gi.gi_finalize(scene, cfg, st)
-    mat = restir.fetch_material(scene, gi_inputs["mid"])
-    f_c = m3.linearize(
-        restir.get_p_hat_gi(
-            scene, gi_inputs["x1"], m3.normalize(gi_inputs["n1"]),
-            reservoir.xn, reservoir.e3, gi_inputs["o"], mat, False, cfg,
+    mat = restir.fetch_material_p(scene, gi_inputs["mid"])
+    f_c = pv.length(
+        restir.get_p_hat_gi_p(
+            scene, gi_inputs["x1"], pv.normalize(gi_inputs["n1"]),
+            reservoir["xn"], reservoir["e3"], gi_inputs["o"], mat, False, cfg,
         )
     )
     sampling = gi_inputs["sampling"]
-    reservoir = reservoir.replace(
-        w=jnp.where(sampling, get_w(reservoir.w_sum, f_c), 0.0),
-        m=jnp.where(sampling, 1.0, 0.0),
-    )
+    reservoir["w"] = jnp.where(sampling, get_w(reservoir["w_sum"], f_c), 0.0)
+    reservoir["m"] = jnp.where(sampling, 1.0, 0.0)
     return reservoir, seed
 
 
@@ -176,108 +234,113 @@ def pass1_gi_final(scene, gi_inputs, st, cfg: RenderConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pass2_temporal(scene, cam, frame, cur_di: ReservoirDI, cur_gi: ReservoirGI,
-                   sdata: SampleData, last_di, last_gi, last_sdata,
+def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
+                   sdata: dict, last_packed_di, last_packed_gi,
                    cfg: RenderConfig):
-    """Temporal reuse (RayGen_v6_pass2.hlsl:47-204)."""
+    """Temporal reuse (RayGen_v6_pass2.hlsl:47-204).
+
+    cur_*/sdata are planar dicts; last_packed_* are the [N, 26] packed
+    last-frame records (one gather each instead of 12 per-field ones)."""
     xs, ys = _pixel_grid(cfg)
     seed = pixel_seed(xs, ys, 2, frame)
-    cam_pos = cam["view_inv"][:3, 3]
+    cam_pos = tuple(cam["view_inv"][c, 3] for c in range(3))
 
-    shading = ~jnp.any(sdata.l1 != 0.0, axis=-1)
+    shading = ~((sdata["l1"][0] != 0.0) | (sdata["l1"][1] != 0.0)
+                | (sdata["l1"][2] != 0.0))
 
-    px, py = restir.reproject_to_prev_pixel(
-        scene, sdata.x1, sdata.obj, cam["prev_view"], cam["prev_proj"],
-        cfg.width, cfg.height,
+    px, py = restir.reproject_to_prev_pixel_p(
+        scene, sdata["x1"], sdata["obj"], cam["prev_view"],
+        cam["prev_proj"], cfg.width, cfg.height,
     )
     in_bounds = (px >= 0) & (px < cfg.width) & (py >= 0) & (py < cfg.height)
     idx = jnp.clip(py, 0, cfg.height - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
 
-    l_di = jax.tree.map(lambda a: a[idx], last_di)
-    l_gi = jax.tree.map(lambda a: a[idx], last_gi)
-    l_sd = jax.tree.map(lambda a: a[idx], last_sdata)
+    l_sd, l_di = _unpack_record(last_packed_di[idx], _DI_KEYS)
+    _, l_gi = _unpack_record(last_packed_gi[idx], _GI_KEYS)
 
-    mat = restir.fetch_material(scene, sdata.mid)
+    mat = restir.fetch_material_p(scene, sdata["mid"])
 
     # ---- DI acceptance (pass2:89-97); the reference omits the bounds
     # check and reads garbage — we require in_bounds
     accept_di = (
         shading & in_bounds
-        & (m3.length(l_sd.l1) == 0.0)
-        & is_valid_di(l_di)
-        & ~restir.reject_distance(sdata.x1, l_sd.x1, cam_pos, 0.1)
-        & (l_di.x2[:, 0] != 0.0) & (l_di.x2[:, 1] != 0.0) & (l_di.x2[:, 2] != 0.0)
-        & (l_sd.mid == sdata.mid)
+        & (pv.length(l_sd["l1"]) == 0.0)
+        & is_valid_di_p(l_di)
+        & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
+        & (l_di["x2"][0] != 0.0) & (l_di["x2"][1] != 0.0) & (l_di["x2"][2] != 0.0)
+        & (l_sd["mid"] == sdata["mid"])
     )
 
     cap = float(cfg.temporal_m_cap)
-    m_sum = jnp.minimum(cap, cur_di.m) + jnp.minimum(cap, l_di.m)
-    mi_c = restir.pairwise_mis_canonical_temporal(cur_di.m, l_di.m, m_sum, cap)
-    mi_t = restir.pairwise_mis_noncanonical_temporal(cur_di.m, l_di.m, m_sum, cap)
-    last_n2_zero = m3.length(l_di.n2) == 0.0
+    m_sum = jnp.minimum(cap, cur_di["m"]) + jnp.minimum(cap, l_di["m"])
+    mi_c = restir.pairwise_mis_canonical_temporal(cur_di["m"], l_di["m"], m_sum, cap)
+    mi_t = restir.pairwise_mis_noncanonical_temporal(cur_di["m"], l_di["m"], m_sum, cap)
+    last_n2_zero = pv.length(l_di["n2"]) == 0.0
     mi_c = jnp.where(last_n2_zero, 1.0, mi_c)
     mi_t = jnp.where(last_n2_zero, 0.0, mi_t)
 
-    w_c = mi_c * restir.get_p_hat_di(
-        scene, sdata.x1, sdata.n1, cur_di.x2, cur_di.n2, cur_di.l2,
-        sdata.o, mat, False, cfg,
-    ) * cur_di.w
-    w_t = mi_t * restir.get_p_hat_di(
-        scene, sdata.x1, sdata.n1, l_di.x2, l_di.n2, l_di.l2,
-        sdata.o, mat, True, cfg,
-    ) * l_di.w
+    w_c = mi_c * restir.get_p_hat_di_p(
+        scene, sdata["x1"], sdata["n1"], cur_di["x2"], cur_di["n2"],
+        cur_di["l2"], sdata["o"], mat, False, cfg,
+    ) * cur_di["w"]
+    w_t = mi_t * restir.get_p_hat_di_p(
+        scene, sdata["x1"], sdata["n1"], l_di["x2"], l_di["n2"], l_di["l2"],
+        sdata["o"], mat, True, cfg,
+    ) * l_di["w"]
 
-    merged = cur_di.replace(
-        m=jnp.where(accept_di, jnp.minimum(cap, cur_di.m), cur_di.m),
-        w_sum=jnp.where(accept_di, w_c, cur_di.w_sum),
+    merged = dict(
+        cur_di,
+        m=jnp.where(accept_di, jnp.minimum(cap, cur_di["m"]), cur_di["m"]),
+        w_sum=jnp.where(accept_di, w_c, cur_di["w_sum"]),
     )
-    merged, _, seed = update_reservoir_di(
-        merged, accept_di, w_t, jnp.minimum(cap, l_di.m),
-        l_di.x2, l_di.n2, l_di.l2, seed,
+    merged, _, seed = update_reservoir_p(
+        merged, _DI_KEYS, accept_di, w_t, jnp.minimum(cap, l_di["m"]),
+        (l_di["x2"], l_di["n2"], l_di["l2"]), seed,
     )
-    p_hat = restir.get_p_hat_di(
-        scene, sdata.x1, sdata.n1, merged.x2, merged.n2, merged.l2,
-        sdata.o, mat, False, cfg,
+    p_hat = restir.get_p_hat_di_p(
+        scene, sdata["x1"], sdata["n1"], merged["x2"], merged["n2"],
+        merged["l2"], sdata["o"], mat, False, cfg,
     )
-    merged = merged.replace(
-        w=jnp.where(accept_di, get_w(merged.w_sum, p_hat), merged.w)
-    )
+    merged["w"] = jnp.where(accept_di, get_w(merged["w_sum"], p_hat), merged["w"])
 
     # ---- GI acceptance (pass2:99-106)
     accept_gi = (
         shading & in_bounds
-        & (m3.length(l_sd.l1) == 0.0)
-        & ~restir.reject_w_sum(l_gi.w_sum, cfg.w_sum_threshold)
-        & ~restir.reject_distance(sdata.x1, l_sd.x1, cam_pos, 0.1)
-        & is_valid_gi(l_gi)
-        & (l_sd.mid == sdata.mid)
+        & (pv.length(l_sd["l1"]) == 0.0)
+        & ~restir.reject_w_sum(l_gi["w_sum"], cfg.w_sum_threshold)
+        & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
+        & is_valid_gi_p(l_gi)
+        & (l_sd["mid"] == sdata["mid"])
     )
     cap_gi = float(cfg.temporal_m_cap_gi)
-    m_sum_gi = jnp.minimum(cap_gi, cur_gi.m) + jnp.minimum(cap_gi, l_gi.m)
-    mi_c_gi = restir.pairwise_mis_canonical_temporal(cur_gi.m, l_gi.m, m_sum_gi, cap_gi)
-    mi_t_gi = restir.pairwise_mis_noncanonical_temporal(cur_gi.m, l_gi.m, m_sum_gi, cap_gi)
+    m_sum_gi = jnp.minimum(cap_gi, cur_gi["m"]) + jnp.minimum(cap_gi, l_gi["m"])
+    mi_c_gi = restir.pairwise_mis_canonical_temporal(
+        cur_gi["m"], l_gi["m"], m_sum_gi, cap_gi)
+    mi_t_gi = restir.pairwise_mis_noncanonical_temporal(
+        cur_gi["m"], l_gi["m"], m_sum_gi, cap_gi)
 
-    f_c = restir.get_p_hat_gi(scene, sdata.x1, sdata.n1, cur_gi.xn, cur_gi.e3,
-                              sdata.o, mat, False, cfg)
-    w_c_gi = mi_c_gi * m3.linearize(f_c) * cur_gi.w
-    f_t = restir.get_p_hat_gi(scene, sdata.x1, sdata.n1, l_gi.xn, l_gi.e3,
-                              sdata.o, mat, True, cfg)
-    w_t_gi = mi_t_gi * m3.linearize(f_t) * l_gi.w
+    f_c = restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], cur_gi["xn"],
+                                cur_gi["e3"], sdata["o"], mat, False, cfg)
+    w_c_gi = mi_c_gi * pv.length(f_c) * cur_gi["w"]
+    f_t = restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], l_gi["xn"],
+                                l_gi["e3"], sdata["o"], mat, True, cfg)
+    w_t_gi = mi_t_gi * pv.length(f_t) * l_gi["w"]
 
-    merged_gi = cur_gi.replace(
-        m=jnp.where(accept_gi, jnp.minimum(cap_gi, cur_gi.m), cur_gi.m),
-        w_sum=jnp.where(accept_gi, w_c_gi, cur_gi.w_sum),
+    merged_gi = dict(
+        cur_gi,
+        m=jnp.where(accept_gi, jnp.minimum(cap_gi, cur_gi["m"]), cur_gi["m"]),
+        w_sum=jnp.where(accept_gi, w_c_gi, cur_gi["w_sum"]),
     )
-    merged_gi, _, seed = update_reservoir_gi(
-        merged_gi, accept_gi, w_t_gi, jnp.minimum(cap_gi, l_gi.m),
-        l_gi.xn, l_gi.nn, l_gi.e3, seed,
+    merged_gi, _, seed = update_reservoir_p(
+        merged_gi, _GI_KEYS, accept_gi, w_t_gi, jnp.minimum(cap_gi, l_gi["m"]),
+        (l_gi["xn"], l_gi["nn"], l_gi["e3"]), seed,
     )
-    p_hat_gi = m3.linearize(
-        restir.get_p_hat_gi(scene, sdata.x1, sdata.n1, merged_gi.xn,
-                            merged_gi.e3, sdata.o, mat, False, cfg)
+    p_hat_gi = pv.length(
+        restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], merged_gi["xn"],
+                              merged_gi["e3"], sdata["o"], mat, False, cfg)
     )
-    merged_gi = merged_gi.replace(
-        w=jnp.where(accept_gi, get_w(merged_gi.w_sum, p_hat_gi), merged_gi.w)
+    merged_gi["w"] = jnp.where(
+        accept_gi, get_w(merged_gi["w_sum"], p_hat_gi), merged_gi["w"]
     )
     return merged, merged_gi
 
@@ -286,7 +349,10 @@ def pass2_temporal(scene, cam, frame, cur_di: ReservoirDI, cur_gi: ReservoirGI,
 
 
 def _pick_first_k(accept: jax.Array, k: int):
-    """Indices of the first k True tries per lane: (idx [N,k], ok [N,k])."""
+    """Indices of the first k True tries per lane: (idx [N,k], ok [N,k]).
+
+    Kept in the reference [N, T] orientation for tests; the pass kernel
+    uses ``_pick_first_k_major`` below."""
     n = accept.shape[0]
     if k == 0:
         return (jnp.zeros((n, 0), jnp.int32), jnp.zeros((n, 0), bool))
@@ -299,211 +365,270 @@ def _pick_first_k(accept: jax.Array, k: int):
     return jnp.stack(idxs, -1), jnp.stack(oks, -1)
 
 
+def _pick_first_k_major(accept: jax.Array, k: int):
+    """Try-major variant: accept [T, N] -> (idx list of k [N], ok list)."""
+    c = jnp.cumsum(accept.astype(jnp.int32), axis=0)
+    idxs, oks = [], []
+    for v in range(k):
+        hitv = accept & (c == v + 1)
+        idxs.append(jnp.argmax(hitv, axis=0).astype(jnp.int32))
+        oks.append(jnp.any(hitv, axis=0))
+    return idxs, oks
+
+
+def _select_try(planes, idx_v: jax.Array):
+    """One-hot select row ``idx_v`` [N] out of a [T, N] plane (or pytree of
+    planes) — gather-free."""
+    def sel(p):
+        t_count = p.shape[0]
+        acc = p[0]
+        for t in range(1, t_count):
+            acc = jnp.where(idx_v == t, p[t], acc)
+        return acc
+    return jax.tree.map(sel, planes)
+
+
+def _spatial_tries(xs, ys, cfg, seed):
+    """TRY-MAJOR weighted-disk neighbor picks (Common_v6.hlsl:203-241).
+
+    Returns (pidx [T, N], is_center [T, N], seed)."""
+    tries = cfg.spatial_max_tries
+    us, seed = tea_batch_major(seed, 2 * tries)        # [2T, N]
+    r = cfg.spatial_radius * jnp.power(us[0::2], cfg.spatial_exponent)
+    ang = us[1::2] * 6.2831853
+    ox = (jnp.cos(ang) * r).astype(jnp.int32)
+    oy = (jnp.sin(ang) * r).astype(jnp.int32)
+    nx = restir.mirror_clamp(xs + ox, cfg.width)
+    ny = restir.mirror_clamp(ys + oy, cfg.height)
+    is_center = (nx == xs) & (ny == ys)
+    return ny * cfg.width + nx, is_center, seed
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pass3_spatial(scene, cam, frame, cur_di: ReservoirDI, cur_gi: ReservoirGI,
-                  sdata: SampleData, cfg: RenderConfig):
+def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
+                  sdata: dict, cfg: RenderConfig):
     """Spatial reuse + final shade (RayGen_v6_pass3.hlsl:47-463).
 
-    Returns (radiance sample [N,3], shaded_mask, out_di, out_gi)."""
+    Returns (radiance sample [N,3], shaded_mask, out_di planes, out_gi
+    planes)."""
     xs, ys = _pixel_grid(cfg)
-    n = cfg.num_pixels
     seed = pixel_seed(xs, ys, 3, frame)
-    cam_pos = cam["view_inv"][:3, 3]
-    shading = ~jnp.any(sdata.l1 != 0.0, axis=-1)
-    mat = restir.fetch_material(scene, sdata.mid)
+    cam_pos = tuple(cam["view_inv"][c, 3] for c in range(3))
+    shading = ~((sdata["l1"][0] != 0.0) | (sdata["l1"][1] != 0.0)
+                | (sdata["l1"][2] != 0.0))
+    mat = restir.fetch_material_p(scene, sdata["mid"])
     k = cfg.spatial_candidate_count
+    zero = shading.astype(jnp.float32) * 0.0
 
-    def gather(tree, idx):
-        return jax.tree.map(lambda a: a[idx], tree)
+    packed_di = _pack_record(sdata, cur_di, _DI_KEYS)   # [N, 26]
+    packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS)
 
     # ---- DI candidates (pass3:107-142)
-    nx, ny, is_center, seed = restir.spatial_candidate_pixels(
-        xs, ys, cfg.width, cfg.height, cfg.spatial_radius,
-        cfg.spatial_exponent, cfg.spatial_max_tries, seed,
-    )
-    pidx = ny * cfg.width + nx                          # [N, T]
-    cand_sd = gather(sdata, pidx)
-    cand_di = gather(cur_di, pidx)
+    pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed)
+    cand_sd, cand_di = _unpack_record(packed_di[pidx], _DI_KEYS)  # [T, N]
     accept = (
         ~is_center
-        & ~restir.reject_normal(sdata.n1[:, None, :], cand_sd.n1, 0.9)
-        & ~restir.reject_distance(sdata.x1[:, None, :], cand_sd.x1, cam_pos, 0.1)
-        & is_valid_di(cand_di)
-        & (m3.length(cand_sd.l1) == 0.0)
-        & ~_sentinel(cand_sd.mid)
-        & (cand_sd.mid == sdata.mid[:, None])
+        & ~restir.reject_normal_p(sdata["n1"], cand_sd["n1"], 0.9)
+        & ~restir.reject_distance_p(sdata["x1"], cand_sd["x1"], cam_pos, 0.1)
+        & is_valid_di_p(cand_di)
+        & (pv.length(cand_sd["l1"]) == 0.0)
+        & ~_sentinel(cand_sd["mid"])
+        & (cand_sd["mid"] == sdata["mid"])
     )
-    di_idx, di_ok = _pick_first_k(accept, k)           # [N, k]
-    di_pix = jnp.take_along_axis(pidx, di_idx, axis=-1)
+    di_idx, di_ok = _pick_first_k_major(accept, k)      # k x [N]
+    nb_di = [_select_try(cand_di, di_idx[v]) for v in range(k)]
+    nb_sd = [_select_try(cand_sd, di_idx[v]) for v in range(k)]
 
     cap = float(cfg.spatial_m_cap)
-    nb_di = gather(cur_di, di_pix)                      # [N, k] fields
-    nb_sd = gather(sdata, di_pix)
-    m_sum = jnp.minimum(cap, cur_di.m) + jnp.sum(
-        jnp.where(di_ok, jnp.minimum(cap, nb_di.m), 0.0), axis=-1
-    )
+    m_sum = jnp.minimum(cap, cur_di["m"])
+    for v in range(k):
+        m_sum = m_sum + jnp.where(di_ok[v], jnp.minimum(cap, nb_di[v]["m"]), 0.0)
 
     # canonical MIS (MIS_v6.hlsl:2-35); p_hat_from uses VISIBILITY rays
-    c_m_min = jnp.minimum(cap, cur_di.m)
+    c_m_min = jnp.minimum(cap, cur_di["m"])
     c_m_max = m_sum - c_m_min
-    p_c = restir.get_p_hat_di(scene, sdata.x1, sdata.n1, cur_di.x2, cur_di.n2,
-                              cur_di.l2, sdata.o, mat, False, cfg)
+    p_c = restir.get_p_hat_di_p(scene, sdata["x1"], sdata["n1"], cur_di["x2"],
+                                cur_di["n2"], cur_di["l2"], sdata["o"], mat,
+                                False, cfg)
     c_m_num = c_m_min * p_c
     mi_c = c_m_min / jnp.maximum(m_sum, 1e-9)
     for v in range(k):
-        nb_x1 = nb_sd.x1[:, v]
-        nb_n1 = nb_sd.n1[:, v]
-        nb_o = nb_sd.o[:, v]
-        p_from = restir.get_p_hat_di(scene, nb_x1, nb_n1, cur_di.x2, cur_di.n2,
-                                     cur_di.l2, nb_o, mat, True, cfg)
-        n_m_min = jnp.minimum(cap, nb_di.m[:, v])
+        p_from = restir.get_p_hat_di_p(
+            scene, nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"], cur_di["n2"],
+            cur_di["l2"], nb_sd[v]["o"], mat, True, cfg,
+        )
+        n_m_min = jnp.minimum(cap, nb_di[v]["m"])
         m_den = c_m_num + c_m_max * p_from
-        ratio = jnp.where(m_den > 0.0, (n_m_min / jnp.maximum(m_sum, 1e-9)) * (c_m_num / jnp.maximum(m_den, 1e-20)), 0.0)
-        mi_c = mi_c + jnp.where(di_ok[:, v], ratio, 0.0)
+        ratio = jnp.where(
+            m_den > 0.0,
+            (n_m_min / jnp.maximum(m_sum, 1e-9))
+            * (c_m_num / jnp.maximum(m_den, 1e-20)),
+            0.0,
+        )
+        mi_c = mi_c + jnp.where(di_ok[v], ratio, 0.0)
 
-    w_c = mi_c * p_c * cur_di.w
-    out_di = cur_di.replace(
-        m=jnp.where(shading, c_m_min, cur_di.m),
-        w_sum=jnp.where(shading, w_c, cur_di.w_sum),
+    w_c = mi_c * p_c * cur_di["w"]
+    out_di = dict(
+        cur_di,
+        m=jnp.where(shading, c_m_min, cur_di["m"]),
+        w_sum=jnp.where(shading, w_c, cur_di["w_sum"]),
     )
 
     # noncanonical merges (MIS_v6.hlsl:38-60)
     for v in range(k):
-        nb = gather(cur_di, di_pix[:, v])
-        nbs = gather(sdata, di_pix[:, v])
-        p_from = restir.get_p_hat_di(scene, nbs.x1, nbs.n1, cur_di.x2, cur_di.n2,
-                                     cur_di.l2, nbs.o, mat, False, cfg)
+        nb, nbs = nb_di[v], nb_sd[v]
+        p_from = restir.get_p_hat_di_p(
+            scene, nbs["x1"], nbs["n1"], cur_di["x2"], cur_di["n2"],
+            cur_di["l2"], nbs["o"], mat, False, cfg,
+        )
         m_num = (m_sum - c_m_min) * p_from
         m_den = m_num + c_m_min * p_c
         mi_s = jnp.where(
             m_den > 0.0,
-            (jnp.minimum(cap, nb.m) / jnp.maximum(m_sum, 1e-9)) * (m_num / jnp.maximum(m_den, 1e-20)),
+            (jnp.minimum(cap, nb["m"]) / jnp.maximum(m_sum, 1e-9))
+            * (m_num / jnp.maximum(m_den, 1e-20)),
             0.0,
         )
-        w_s = mi_s * restir.get_p_hat_di(
-            scene, sdata.x1, sdata.n1, nb.x2, nb.n2, nb.l2, sdata.o, mat, False, cfg
-        ) * nb.w
-        ok = shading & di_ok[:, v]
-        out_di, _, seed = update_reservoir_di(
-            out_di, ok, w_s, jnp.minimum(cap, nb.m), nb.x2, nb.n2, nb.l2, seed,
+        w_s = mi_s * restir.get_p_hat_di_p(
+            scene, sdata["x1"], sdata["n1"], nb["x2"], nb["n2"], nb["l2"],
+            sdata["o"], mat, False, cfg,
+        ) * nb["w"]
+        ok = shading & di_ok[v]
+        out_di, _, seed = update_reservoir_p(
+            out_di, _DI_KEYS, ok, w_s, jnp.minimum(cap, nb["m"]),
+            (nb["x2"], nb["n2"], nb["l2"]), seed,
         )
 
     # ---- GI candidates (pass3:144-189)
-    nxg, nyg, is_center_g, seed = restir.spatial_candidate_pixels(
-        xs, ys, cfg.width, cfg.height, cfg.spatial_radius,
-        cfg.spatial_exponent, cfg.spatial_max_tries, seed,
-    )
-    pidx_g = nyg * cfg.width + nxg
-    cand_sd_g = gather(sdata, pidx_g)
-    cand_gi = gather(cur_gi, pidx_g)
-    jac = restir.jacobian_reconnection(
-        cand_sd_g.x1, sdata.x1[:, None, :], cand_gi.xn, cand_gi.nn
+    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed)
+    cand_sd_g, cand_gi = _unpack_record(packed_gi[pidx_g], _GI_KEYS)
+    jac = restir.jacobian_reconnection_p(
+        cand_sd_g["x1"], sdata["x1"], cand_gi["xn"], cand_gi["nn"]
     )
     accept_g = (
         ~is_center_g
-        & (mat["rough"] > 0.3)[:, None]
-        & ~restir.reject_distance(sdata.x1[:, None, :], cand_sd_g.x1, cam_pos, 0.1)
-        & ~restir.reject_below_surface(
-            m3.normalize(cand_gi.xn - sdata.x1[:, None, :]), sdata.n1[:, None, :]
+        & (mat["rough"] > 0.3)
+        & ~restir.reject_distance_p(sdata["x1"], cand_sd_g["x1"], cam_pos, 0.1)
+        & ~restir.reject_below_surface_p(
+            pv.normalize(pv.sub(cand_gi["xn"], sdata["x1"])), sdata["n1"]
         )
-        & ~restir.reject_w_sum(cand_gi.w_sum, cfg.w_sum_threshold)
-        & is_valid_gi(cand_gi)
+        & ~restir.reject_w_sum(cand_gi["w_sum"], cfg.w_sum_threshold)
+        & is_valid_gi_p(cand_gi)
         & ~restir.reject_jacobian(jac, cfg.j_threshold)
-        & (m3.length(cand_sd_g.l1) == 0.0)
-        & ~_sentinel(cand_sd_g.mid)
-        & (cand_sd_g.mid == sdata.mid[:, None])
+        & (pv.length(cand_sd_g["l1"]) == 0.0)
+        & ~_sentinel(cand_sd_g["mid"])
+        & (cand_sd_g["mid"] == sdata["mid"])
     )
-    gi_idx, gi_ok = _pick_first_k(accept_g, k)
-    gi_pix = jnp.take_along_axis(pidx_g, gi_idx, axis=-1)
+    gi_idx, gi_ok = _pick_first_k_major(accept_g, k)
+    nb_gi = [_select_try(cand_gi, gi_idx[v]) for v in range(k)]
+    nb_sd_g = [_select_try(cand_sd_g, gi_idx[v]) for v in range(k)]
 
     cap_g = float(cfg.spatial_m_cap_gi)
-    nb_gi = gather(cur_gi, gi_pix)
-    m_sum_g = jnp.minimum(cap_g, cur_gi.m) + jnp.sum(
-        jnp.where(gi_ok, jnp.minimum(cap_g, nb_gi.m), 0.0), axis=-1
-    )
+    m_sum_g = jnp.minimum(cap_g, cur_gi["m"])
+    for v in range(k):
+        m_sum_g = m_sum_g + jnp.where(
+            gi_ok[v], jnp.minimum(cap_g, nb_gi[v]["m"]), 0.0)
 
-    cg_m_min = jnp.minimum(cap_g, cur_gi.m)
+    cg_m_min = jnp.minimum(cap_g, cur_gi["m"])
     cg_m_max = m_sum_g - cg_m_min
-    p_c_gi = m3.linearize(
-        restir.get_p_hat_gi(scene, sdata.x1, sdata.n1, cur_gi.xn, cur_gi.e3,
-                            sdata.o, mat, False, cfg)
+    p_c_gi = pv.length(
+        restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], cur_gi["xn"],
+                              cur_gi["e3"], sdata["o"], mat, False, cfg)
     )
     cg_num = cg_m_min * p_c_gi
     mi_c_gi = cg_m_min / jnp.maximum(m_sum_g, 1e-9)
     for v in range(k):
-        nbs = gather(sdata, gi_pix[:, v])
-        j_v = restir.jacobian_reconnection(sdata.x1, nbs.x1, cur_gi.xn, cur_gi.nn)
-        p_from = m3.linearize(
-            restir.get_p_hat_gi(scene, nbs.x1, nbs.n1, cur_gi.xn, cur_gi.e3,
-                                nbs.o, mat, True, cfg)
+        nbs = nb_sd_g[v]
+        j_v = restir.jacobian_reconnection_p(
+            sdata["x1"], nbs["x1"], cur_gi["xn"], cur_gi["nn"])
+        p_from = pv.length(
+            restir.get_p_hat_gi_p(scene, nbs["x1"], nbs["n1"], cur_gi["xn"],
+                                  cur_gi["e3"], nbs["o"], mat, True, cfg)
         ) * j_v
         m_den = cg_num + cg_m_max * p_from
         ratio = jnp.where(
             m_den > 0.0,
-            (jnp.minimum(cap_g, nb_gi.m[:, v]) / jnp.maximum(m_sum_g, 1e-9))
+            (jnp.minimum(cap_g, nb_gi[v]["m"]) / jnp.maximum(m_sum_g, 1e-9))
             * (cg_num / jnp.maximum(m_den, 1e-20)),
             0.0,
         )
-        mi_c_gi = mi_c_gi + jnp.where(gi_ok[:, v], ratio, 0.0)
+        mi_c_gi = mi_c_gi + jnp.where(gi_ok[v], ratio, 0.0)
     mi_c_gi = jnp.clip(mi_c_gi, 0.0, 1.0)
 
-    w_c_gi = mi_c_gi * p_c_gi * cur_gi.w
-    out_gi = cur_gi.replace(
-        m=jnp.where(shading, cg_m_min, cur_gi.m),
-        w_sum=jnp.where(shading, w_c_gi, cur_gi.w_sum),
+    w_c_gi = mi_c_gi * p_c_gi * cur_gi["w"]
+    out_gi = dict(
+        cur_gi,
+        m=jnp.where(shading, cg_m_min, cur_gi["m"]),
+        w_sum=jnp.where(shading, w_c_gi, cur_gi["w_sum"]),
     )
 
     for v in range(k):
-        nb = gather(cur_gi, gi_pix[:, v])
-        nbs = gather(sdata, gi_pix[:, v])
-        j_mis = restir.jacobian_reconnection(sdata.x1, nbs.x1, cur_gi.xn, cur_gi.nn)
-        p_from = m3.linearize(
-            restir.get_p_hat_gi(scene, nbs.x1, nbs.n1, cur_gi.xn, cur_gi.e3,
-                                nbs.o, mat, False, cfg)
+        nb, nbs = nb_gi[v], nb_sd_g[v]
+        j_mis = restir.jacobian_reconnection_p(
+            sdata["x1"], nbs["x1"], cur_gi["xn"], cur_gi["nn"])
+        p_from = pv.length(
+            restir.get_p_hat_gi_p(scene, nbs["x1"], nbs["n1"], cur_gi["xn"],
+                                  cur_gi["e3"], nbs["o"], mat, False, cfg)
         ) * j_mis
         m_num = (m_sum_g - cg_m_min) * p_from
         m_den = m_num + cg_m_min * p_c_gi
         mi_s = jnp.where(
             m_den > 0.0,
-            jnp.clip((jnp.minimum(cap_g, nb.m) / jnp.maximum(m_sum_g, 1e-9))
+            jnp.clip((jnp.minimum(cap_g, nb["m"]) / jnp.maximum(m_sum_g, 1e-9))
                      * (m_num / jnp.maximum(m_den, 1e-20)), 0.0, 1.0),
             0.0,
         )
-        j_shift = restir.jacobian_reconnection(nbs.x1, sdata.x1, nb.xn, nb.nn)
-        f_s = m3.linearize(
-            restir.get_p_hat_gi(scene, sdata.x1, sdata.n1, nb.xn, nb.e3,
-                                sdata.o, mat, True, cfg)
+        j_shift = restir.jacobian_reconnection_p(
+            nbs["x1"], sdata["x1"], nb["xn"], nb["nn"])
+        f_s = pv.length(
+            restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], nb["xn"],
+                                  nb["e3"], sdata["o"], mat, True, cfg)
         )
-        w_s = mi_s * f_s * nb.w * j_shift
-        ok = shading & gi_ok[:, v] & (j_shift != 0.0)
-        out_gi, _, seed = update_reservoir_gi(
-            out_gi, ok, w_s, jnp.minimum(cap_g, nb.m), nb.xn, nb.nn, nb.e3, seed,
+        w_s = mi_s * f_s * nb["w"] * j_shift
+        ok = shading & gi_ok[v] & (j_shift != 0.0)
+        out_gi, _, seed = update_reservoir_p(
+            out_gi, _GI_KEYS, ok, w_s, jnp.minimum(cap_g, nb["m"]),
+            (nb["xn"], nb["nn"], nb["e3"]), seed,
         )
 
     # ---- final shade (pass3:334-372)
-    p_hat_final = restir.get_p_hat_di(
-        scene, sdata.x1, sdata.n1, out_di.x2, out_di.n2, out_di.l2,
-        sdata.o, mat, True, cfg,
+    p_hat_final = restir.get_p_hat_di_p(
+        scene, sdata["x1"], sdata["n1"], out_di["x2"], out_di["n2"],
+        out_di["l2"], sdata["o"], mat, True, cfg,
     )
-    out_di = out_di.replace(
-        w=jnp.where(shading, get_w(out_di.w_sum, p_hat_final), out_di.w)
+    out_di["w"] = jnp.where(
+        shading, get_w(out_di["w_sum"], p_hat_final), out_di["w"])
+    radiance = pv.scale(
+        restir.reconnect_di_p(sdata["x1"], sdata["n1"], out_di["x2"],
+                              out_di["n2"], out_di["l2"], sdata["o"], mat),
+        out_di["w"],
     )
-    radiance = restir.reconnect_di(
-        sdata.x1, sdata.n1, out_di.x2, out_di.n2, out_di.l2, sdata.o, mat
-    ) * out_di.w[:, None]
 
-    f_gi_final = restir.get_p_hat_gi(
-        scene, sdata.x1, sdata.n1, out_gi.xn, out_gi.e3, sdata.o, mat, False, cfg
+    f_gi_final = restir.get_p_hat_gi_p(
+        scene, sdata["x1"], sdata["n1"], out_gi["xn"], out_gi["e3"],
+        sdata["o"], mat, False, cfg,
     )
-    out_gi = out_gi.replace(
-        w=jnp.where(shading, get_w(out_gi.w_sum, m3.linearize(f_gi_final)), out_gi.w)
-    )
-    radiance = radiance + f_gi_final * out_gi.w[:, None]
-    radiance = jnp.where(shading[:, None], radiance, 0.0)
-    return radiance, shading, out_di, out_gi
+    out_gi["w"] = jnp.where(
+        shading, get_w(out_gi["w_sum"], pv.length(f_gi_final)), out_gi["w"])
+    radiance = pv.add(radiance, pv.scale(f_gi_final, out_gi["w"]))
+    radiance = pv.where(shading, radiance, pv.splat(zero))
+    return pv.to_aos(radiance, axis=1), shading, out_di, out_gi
 
 
 # ============================== RENDERER =================================
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_last(last_di: ReservoirDI, last_gi: ReservoirGI, last_sdata: SampleData):
+    """Persistent structs -> the two packed [N, 26] gather tables."""
+    from royaltracer_dx_tpu.ops.reservoir import (
+        di_to_planes, gi_to_planes, sdata_to_planes,
+    )
+    sd = sdata_to_planes(last_sdata)
+    return (
+        _pack_record(sd, di_to_planes(last_di), _DI_KEYS),
+        _pack_record(sd, gi_to_planes(last_gi), _GI_KEYS),
+    )
 
 
 class RestirRenderer:
@@ -559,18 +684,21 @@ class RestirRenderer:
             st = pass1_gi_bounce(scene, cfg, st, jnp.uint32(b))
         res_gi, _ = pass1_gi_final(scene, gi_in, st, cfg)
 
+        packed_di, packed_gi = _pack_last(self.last_di, self.last_gi, self.last_sdata)
         res_di, res_gi = pass2_temporal(
-            scene, cam, frame, res_di, res_gi, sdata,
-            self.last_di, self.last_gi, self.last_sdata, cfg,
+            scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi, cfg,
         )
 
         sample, shaded, out_di, out_gi = pass3_spatial(
             scene, cam, frame, res_di, res_gi, sdata, cfg
         )
+        out_di = planes_to_di(out_di)
+        out_gi = planes_to_gi(out_gi)
+        sdata_s = planes_to_sdata(sdata)
 
         changed = jnp.any(jnp.abs(cam["view"] - self._prev_view) > S_BIAS)
         self.fb = accumulate(self.fb, sample, changed, cfg.max_accum_frames)
-        self.l1 = sdata.l1
+        self.l1 = sdata_s.l1
 
         # ping-pong: pass 3 writes last buffers only for shaded lanes
         sh3 = shaded[:, None]
@@ -586,7 +714,7 @@ class RestirRenderer:
             lambda new, old: jnp.where(
                 sh3 if new.ndim == 2 else shaded, new, old
             ),
-            sdata, self.last_sdata,
+            sdata_s, self.last_sdata,
         )
         self.fb.accum.block_until_ready()
         dt = time.perf_counter() - t0
