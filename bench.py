@@ -55,6 +55,26 @@ def main():
     mrays = total_rays / dt / 1e6
     spp_per_sec = frames / dt * (width * height) / (1920 * 1080)
 
+    # flagship ReSTIR DI+GI pipeline on the reference's shipped scene
+    restir_extra = {}
+    try:
+        from royaltracer_dx_tpu.cli import build_scene
+        from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
+
+        rscene, rcam = build_scene("reference")
+        rr = RestirRenderer(rscene, rcam, RenderConfig(width=256, height=256))
+        rr.render()  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            rr.render()
+        rdt = (time.perf_counter() - t0) / 5
+        restir_extra = {
+            "restir_garage_256_frame_ms": round(rdt * 1e3, 2),
+            "restir_garage_256_fps": round(1.0 / rdt, 2),
+        }
+    except Exception as e:  # bench must still emit its line
+        restir_extra = {"restir_error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "Mrays/sec/chip megakernel cornell 512x512 (5 bounces, RIS-10 NEE)",
         "value": round(mrays, 2),
@@ -65,6 +85,7 @@ def main():
             "spp_per_sec_1080p_equiv": round(spp_per_sec, 3),
             "rays_per_frame": round(total_rays / frames),
             "device": str(jax.devices()[0]),
+            **restir_extra,
         },
     }))
 
