@@ -65,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--bvh", action="store_true", help="use the LBVH tracer")
+    ap.add_argument("--traversal", default="",
+                    choices=("", "brute", "cluster", "bvh"),
+                    help="acceleration scheme (default: brute; 'cluster' = "
+                         "the TPU tile-clustered traversal for big scenes)")
     ap.add_argument("--out", default="render.png")
     ap.add_argument("--snapshot-every", type=int, default=0)
     ap.add_argument("--checkpoint", default="", help="save/resume state npz")
@@ -91,6 +95,7 @@ def main(argv=None):
     cfg = RenderConfig(
         width=args.width, height=args.height, max_bounces=args.bounces,
         use_bvh=args.bvh,
+        traversal=args.traversal or "brute",
     )
     scene, camera = build_scene(args.scene)
     cls = RestirRenderer if args.renderer == "restir" else Renderer

@@ -63,10 +63,22 @@ class RenderConfig:
     max_accum_frames: int = 2_000_000
 
     # --- acceleration structure ---
-    # False = brute-force Moller-Trumbore sweep (oracle; fine to ~10k tris);
-    # True = LBVH skip-link traversal (scene must carry a built bvh)
+    # "brute"   = dense Moller-Trumbore sweep (oracle; fine to ~10k tris)
+    # "cluster" = tile-clustered traversal (ops/cluster_traverse.py; the
+    #             TPU-native scheme for big scenes — scene must carry
+    #             built clusters)
+    # "bvh"     = LBVH skip-link traversal (legacy; gather-bound on TPU)
+    traversal: str = "brute"
+    cluster_group: int = 128
+    cluster_tile: int = 128
+    # deprecated alias for traversal="bvh" (kept for older callers)
     use_bvh: bool = False
     bvh_leaf_size: int = 4
+
+    @property
+    def accel(self) -> str:
+        """Effective traversal mode ('brute' | 'cluster' | 'bvh')."""
+        return "bvh" if self.use_bvh else self.traversal
 
     # --- numerics ---
     s_bias: float = S_BIAS

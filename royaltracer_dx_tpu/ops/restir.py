@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 from royaltracer_dx_tpu.config import EPSILON, MISS_MATERIAL_ID, RenderConfig, S_BIAS
 from royaltracer_dx_tpu.ops import bsdf, light_sampling
+from royaltracer_dx_tpu.ops.cluster_traverse import (
+    any_hit_clustered,
+    closest_hit_clustered,
+)
 from royaltracer_dx_tpu.ops.intersect import (
     any_hit_brute,
     closest_hit_brute,
@@ -39,6 +43,31 @@ _T_MAX = 1e4
 # ------------------------------ tracing ---------------------------------
 
 
+def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
+                      t_min, t_max):
+    """The TraceRay dispatch: pick the acceleration scheme from cfg.accel."""
+    mode = cfg.accel
+    if mode == "bvh":
+        return closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=t_max)
+    if mode == "cluster":
+        return closest_hit_clustered(origins, dirs, scene.clusters,
+                                     t_min=t_min, t_max=t_max,
+                                     tile=cfg.cluster_tile)
+    return closest_hit_brute(origins, dirs, scene.tri_verts,
+                             t_min=t_min, t_max=t_max)
+
+
+def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
+                  t_min, t_max):
+    mode = cfg.accel
+    if mode == "bvh":
+        return any_hit_bvh(origins, dirs, scene.bvh, t_min, t_max)
+    if mode == "cluster":
+        return any_hit_clustered(origins, dirs, scene.clusters, t_min, t_max,
+                                 tile=cfg.cluster_tile)
+    return any_hit_brute(origins, dirs, scene.tri_verts, t_min, t_max)
+
+
 def trace_closest(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min=1e-4):
     """TraceRay + ClosestHit/Miss (Hit_v6.hlsl:12-61, Miss_v6.hlsl:7).
@@ -48,10 +77,7 @@ def trace_closest(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     toward the ray.  Miss lanes get the sentinel material id and zeroed
     geometry.
     """
-    if cfg.use_bvh:
-        hit = closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=_T_MAX)
-    else:
-        hit = closest_hit_brute(origins, dirs, scene.tri_verts, t_min=t_min, t_max=_T_MAX)
+    hit = _closest_dispatch(scene, origins, dirs, cfg, t_min, _T_MAX)
     pos = origins + hit.t[:, None] * dirs
     _, normal, _, area = interpolate_hit(hit, scene.tri_verts, scene.tri_normals, dirs)
     valid = hit.valid
@@ -69,9 +95,7 @@ def trace_closest(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
 
 def trace_occluded(scene: SceneArrays, origins, dirs, t_min, t_max, cfg: RenderConfig):
     """Shadow TraceRay (ShadowRay.hlsl)."""
-    if cfg.use_bvh:
-        return any_hit_bvh(origins, dirs, scene.bvh, t_min, t_max)
-    return any_hit_brute(origins, dirs, scene.tri_verts, t_min, t_max)
+    return _any_dispatch(scene, origins, dirs, cfg, t_min, t_max)
 
 
 def visibility_check(scene, x1, n1, direction, dist, cfg) -> jax.Array:
@@ -420,11 +444,7 @@ def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                     t_min=1e-4) -> dict:
     """Planar trace_closest: AoS [N,3] rays in, planar hit record out
     (pos/normal as planes; v6 semantics — no normal flip toward the ray)."""
-    if cfg.use_bvh:
-        hit = closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=_T_MAX)
-    else:
-        hit = closest_hit_brute(origins, dirs, scene.tri_verts,
-                                t_min=t_min, t_max=_T_MAX)
+    hit = _closest_dispatch(scene, origins, dirs, cfg, t_min, _T_MAX)
     o = pv.from_aos(origins, axis=1)
     d = pv.from_aos(dirs, axis=1)
     pos = pv.add(o, pv.scale(d, hit.t))

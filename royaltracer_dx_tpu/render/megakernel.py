@@ -34,17 +34,13 @@ import jax.numpy as jnp
 
 from royaltracer_dx_tpu.config import RenderConfig
 from royaltracer_dx_tpu.ops import bsdf
-from royaltracer_dx_tpu.ops.intersect import (
-    any_hit_brute,
-    closest_hit_brute,
-    interpolate_hit_p,
-)
+from royaltracer_dx_tpu.ops import restir as restir_ops
+from royaltracer_dx_tpu.ops.intersect import interpolate_hit_p
 from royaltracer_dx_tpu.ops.light_sampling import (
     fold_barycentric,
     light_tables,
     select_light_records,
 )
-from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
 from royaltracer_dx_tpu.utils import pvec as pv
@@ -102,7 +98,7 @@ def _fetch_material(scene: SceneArrays, mat_id: jax.Array) -> dict:
 
 
 def _ris_nee(scene, mat, pos, normal, flat, outgoing, strategy, seed, ris_m,
-             use_bvh=False):
+             cfg: RenderConfig):
     """RIS over ris_m NEE candidates + one shadow ray (Hit.hlsl:183-337).
 
     All inputs planar ([N] planes); candidates evaluate as a CANDIDATE-MAJOR
@@ -183,12 +179,8 @@ def _ris_nee(scene, mat, pos, normal, flat, outgoing, strategy, seed, ris_m,
     so_aos = pv.to_aos(shade_origin)
     ld_aos = pv.to_aos(ldir_sel)
     t_min_s = dist_sel * 0.0 + _BIAS
-    if use_bvh:
-        occluded = any_hit_bvh(so_aos, ld_aos, scene.bvh,
-                               t_min_s, dist_sel - _BIAS)
-    else:
-        occluded = any_hit_brute(so_aos, ld_aos, scene.tri_verts,
-                                 t_min_s, dist_sel - _BIAS)
+    occluded = restir_ops._any_dispatch(scene, so_aos, ld_aos, cfg,
+                                        t_min_s, dist_sel - _BIAS)
     visible = jnp.where(occluded, 0.0, 1.0)
 
     direct = pv.scale(f_sel, visible * wx)
@@ -211,12 +203,8 @@ def bounce_step(scene: SceneArrays, st: dict, bounce: jax.Array, cfg: RenderConf
 
 def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
     def body(bounce, st):
-        if cfg.use_bvh:
-            hit = closest_hit_bvh(st["origin"], st["direction"], scene.bvh,
-                                  t_min=_T_MIN, t_max=_T_MAX)
-        else:
-            hit = closest_hit_brute(st["origin"], st["direction"], scene.tri_verts,
-                                    t_min=_T_MIN, t_max=_T_MAX)
+        hit = restir_ops._closest_dispatch(scene, st["origin"], st["direction"],
+                                           cfg, _T_MIN, _T_MAX)
         origin = pv.from_aos(st["origin"], axis=1)
         direction = pv.from_aos(st["direction"], axis=1)
         throughput = pv.from_aos(st["throughput"], axis=1)
@@ -260,7 +248,7 @@ def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
         )
         direct, seed = _ris_nee(
             scene, mat, pos, normal, flat, outgoing, strategy, seed, cfg.ris_m,
-            use_bvh=cfg.use_bvh,
+            cfg,
         )
         direct = pv.mul(direct, throughput)
 

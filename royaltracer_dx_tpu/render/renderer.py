@@ -71,7 +71,10 @@ class Renderer:
         self.cfg = cfg
         self.materials = scene.build_materials()
         self.scene_arrays = scene.flatten(
-            self.materials, build_bvh=cfg.use_bvh, bvh_leaf_size=cfg.bvh_leaf_size
+            self.materials, build_bvh=cfg.accel == "bvh",
+            bvh_leaf_size=cfg.bvh_leaf_size,
+            build_clusters=cfg.accel == "cluster",
+            cluster_group=cfg.cluster_group,
         )
         self.fb = Framebuffer.create(cfg.num_pixels)
         self.frame = 0

@@ -640,7 +640,10 @@ class RestirRenderer:
         self.cfg = cfg
         self.materials = scene.build_materials()
         self.scene_arrays = scene.flatten(
-            self.materials, build_bvh=cfg.use_bvh, bvh_leaf_size=cfg.bvh_leaf_size
+            self.materials, build_bvh=cfg.accel == "bvh",
+            bvh_leaf_size=cfg.bvh_leaf_size,
+            build_clusters=cfg.accel == "cluster",
+            cluster_group=cfg.cluster_group,
         )
         n = cfg.num_pixels
         lanes = jnp.zeros((n, 3))

@@ -115,6 +115,8 @@ class Scene:
         build_bvh: bool = False,
         bvh_leaf_size: int = 4,
         prev: SceneArrays | None = None,
+        build_clusters: bool = False,
+        cluster_group: int = 128,
     ) -> SceneArrays:
         """Bake instances into a world-space triangle soup (device arrays).
 
@@ -123,7 +125,9 @@ class Scene:
         LBVH is built over the soup; pass ``prev`` (the previous frame's
         arrays) to REFIT its tree instead of rebuilding (same topology,
         updated bounds — the reference's TLAS updateOnly path,
-        Renderer.cpp:594).
+        Renderer.cpp:594).  With build_clusters, morton-ordered triangle
+        clusters are built for the tile-clustered traversal (rebuilt, not
+        refit, on animation — the build is a host-side sort).
         """
         if not self.instance_mesh:
             raise ValueError("scene has no instances")
@@ -152,6 +156,13 @@ class Scene:
             from royaltracer_dx_tpu.ops.bvh import build_lbvh
 
             bvh = build_lbvh(tri_verts, leaf_size=bvh_leaf_size)
+        clusters = None
+        if build_clusters or (prev is not None and prev.clusters is not None):
+            from royaltracer_dx_tpu.ops.cluster_traverse import build_clusters as _bc
+
+            if prev is not None and prev.clusters is not None:
+                cluster_group = prev.clusters.group
+            clusters = _bc(tri_verts, group=cluster_group)
         return SceneArrays(
             tri_verts=tri_verts,
             tri_normals=jnp.asarray(np.concatenate(tn), jnp.float32),
@@ -162,4 +173,5 @@ class Scene:
             object_to_world=jnp.asarray(np.stack(self.transforms), jnp.float32),
             prev_object_to_world=jnp.asarray(np.stack(self.prev_transforms), jnp.float32),
             bvh=bvh,
+            clusters=clusters,
         )

@@ -121,7 +121,8 @@ class SceneArrays:
     lights: LightTriangles
     object_to_world: jax.Array       # [I, 4, 4]
     prev_object_to_world: jax.Array  # [I, 4, 4]
-    bvh: object = None               # LBVH when built (cfg.use_bvh)
+    bvh: object = None               # LBVH when built (traversal="bvh")
+    clusters: object = None          # Clusters when built (traversal="cluster")
 
     @property
     def num_triangles(self) -> int:
