@@ -218,6 +218,48 @@ def any_hit_brute(
     return occluded
 
 
+def _shade_attrs_from_planes(v, nv, u_bary, v_bary):
+    """Shared planar shading-attribute math (Hit_v6.hlsl:12-61 semantics).
+
+    v / nv: 9 vertex / vertex-normal component planes (v0 v1 v2 × xyz);
+    returns (normal, flat, area) planar."""
+    w0 = 1.0 - u_bary - v_bary
+    w1, w2 = u_bary, v_bary
+    e1 = tuple(v[3 + c] - v[c] for c in range(3))
+    e2 = tuple(v[6 + c] - v[c] for c in range(3))
+    cr = pv.cross(e1, e2)
+    area = 0.5 * pv.length(cr)
+    flat = pv.normalize(cr)
+    smooth = []
+    for c in range(3):
+        acc = 0.0
+        for k, wk in enumerate((w0, w1, w2)):
+            has_n = (
+                (nv[3 * k] != 0.0) | (nv[3 * k + 1] != 0.0) | (nv[3 * k + 2] != 0.0)
+            )
+            acc = acc + wk * jnp.where(has_n, nv[3 * k + c], flat[c])
+        smooth.append(acc)
+    smooth = tuple(smooth)
+    use_smooth = pv.length(smooth) > 1e-4
+    normal = pv.where(use_smooth, pv.normalize(smooth), flat)
+    return normal, flat, area
+
+
+def hit_attributes_p(hit: Hit, tri_table: jax.Array):
+    """All per-hit shading attributes from the packed triangle table in ONE
+    row gather (see SceneArrays.with_tri_table).
+
+    Returns (normal, flat, area, mid, obj) — normals planar, ids int32.
+    """
+    rows = tri_table[hit.tri]                        # [N, 20] single gather
+    v = [rows[:, k] for k in range(9)]
+    nv = [rows[:, 9 + k] for k in range(9)]
+    mid = jax.lax.bitcast_convert_type(rows[:, 18], jnp.int32)
+    obj = jax.lax.bitcast_convert_type(rows[:, 19], jnp.int32)
+    normal, flat, area = _shade_attrs_from_planes(v, nv, hit.u, hit.v)
+    return normal, flat, area, mid, obj
+
+
 def interpolate_hit_p(hit: Hit, tri_verts, tri_normals):
     """Planar ``interpolate_hit``: one [N, 9] row-gather per table, then
     pure full-lane component math.
@@ -234,25 +276,7 @@ def interpolate_hit_p(hit: Hit, tri_verts, tri_normals):
     w0 = 1.0 - hit.u - hit.v
     w1, w2 = hit.u, hit.v
     pos = tuple(w0 * v[c] + w1 * v[3 + c] + w2 * v[6 + c] for c in range(3))
-    e1 = tuple(v[3 + c] - v[c] for c in range(3))
-    e2 = tuple(v[6 + c] - v[c] for c in range(3))
-    cr = pv.cross(e1, e2)
-    area = 0.5 * pv.length(cr)
-    flat = pv.normalize(cr)
-    # per-vertex zero-normal fallback to flat, then barycentric blend
-    smooth = []
-    for c in range(3):
-        acc = 0.0
-        for k, wk in enumerate((w0, w1, w2)):
-            has_n = (
-                (nv[3 * k] != 0.0) | (nv[3 * k + 1] != 0.0) | (nv[3 * k + 2] != 0.0)
-            )
-            acc = acc + wk * jnp.where(has_n, nv[3 * k + c], flat[c])
-        smooth.append(acc)
-    smooth = tuple(smooth)
-    use_smooth = pv.length(smooth) > 1e-4
-    sm = pv.normalize(smooth)
-    normal = pv.where(use_smooth, sm, flat)
+    normal, flat, area = _shade_attrs_from_planes(v, nv, hit.u, hit.v)
     return pos, normal, flat, area
 
 

@@ -28,8 +28,8 @@ from royaltracer_dx_tpu.ops.cluster_traverse import (
 from royaltracer_dx_tpu.ops.intersect import (
     any_hit_brute,
     closest_hit_brute,
+    hit_attributes_p,
     interpolate_hit,
-    interpolate_hit_p,
 )
 from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
@@ -448,16 +448,16 @@ def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     o = pv.from_aos(origins, axis=1)
     d = pv.from_aos(dirs, axis=1)
     pos = pv.add(o, pv.scale(d, hit.t))
-    _, normal, _, area = interpolate_hit_p(hit, scene.tri_verts, scene.tri_normals)
+    normal, _, area, mid, obj = hit_attributes_p(hit, scene.tri_table)
     valid = hit.valid
     zero = pv.splat(0.0)
     return dict(
         pos=pv.where(valid, pos, zero),
         normal=pv.where(valid, normal, zero),
         area=jnp.where(valid, area, 0.0),
-        mid=jnp.where(valid, scene.tri_material[hit.tri],
+        mid=jnp.where(valid, mid,
                       jnp.uint32(MISS_MATERIAL_ID).astype(jnp.int32)),
-        obj=jnp.where(valid, scene.tri_instance[hit.tri], 0),
+        obj=jnp.where(valid, obj, 0),
         valid=valid,
     )
 

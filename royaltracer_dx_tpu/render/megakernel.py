@@ -214,12 +214,12 @@ def _bounce_body(scene: SceneArrays, cfg: RenderConfig):
         _, normal, flat, area = interpolate_hit_p(
             hit, scene.tri_verts, scene.tri_normals
         )
+        mat_id = scene.tri_material[hit.tri]
         # flip both normals toward the ray origin (Hit.hlsl:108-111)
         to_viewer = pv.neg(direction)
         normal = pv.where(pv.dot(normal, to_viewer) < 0.0, pv.neg(normal), normal)
         flat = pv.where(pv.dot(flat, to_viewer) < 0.0, pv.neg(flat), flat)
 
-        mat_id = scene.tri_material[hit.tri]
         mat = _fetch_material(scene, mat_id)
         is_emissive = pv.length(mat["ke"]) > 0.0
 

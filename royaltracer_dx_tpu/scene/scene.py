@@ -174,4 +174,4 @@ class Scene:
             prev_object_to_world=jnp.asarray(np.stack(self.prev_transforms), jnp.float32),
             bvh=bvh,
             clusters=clusters,
-        )
+        ).with_tri_table()

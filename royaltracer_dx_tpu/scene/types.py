@@ -123,6 +123,24 @@ class SceneArrays:
     prev_object_to_world: jax.Array  # [I, 4, 4]
     bvh: object = None               # LBVH when built (traversal="bvh")
     clusters: object = None          # Clusters when built (traversal="cluster")
+    # packed per-triangle shading record: verts(9) normals(9) mid obj (ids
+    # bitcast to f32) — the hit attribute fetch is ONE row gather
+    tri_table: jax.Array | None = None
+
+    def with_tri_table(self) -> "SceneArrays":
+        t = self.num_triangles
+        table = jnp.concatenate(
+            [
+                self.tri_verts.reshape(t, 9),
+                self.tri_normals.reshape(t, 9),
+                jax.lax.bitcast_convert_type(
+                    self.tri_material.astype(jnp.int32), jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(
+                    self.tri_instance.astype(jnp.int32), jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        return self.replace(tri_table=table)
 
     @property
     def num_triangles(self) -> int:
