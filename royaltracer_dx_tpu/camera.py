@@ -197,6 +197,8 @@ def generate_rays(
     width: int,
     height: int,
     jitter: jax.Array | None = None,
+    xs: jax.Array | None = None,
+    ys: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Primary rays for every pixel, flattened row-major (y*W + x).
 
@@ -217,12 +219,14 @@ def generate_rays(
     """
     view_inv = camera_arrays["view_inv"]
     proj_inv = camera_arrays["proj_inv"]
-    ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.float32),
-        jnp.arange(width, dtype=jnp.float32),
-        indexing="ij",
-    )
-    pix = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)
+    if xs is None:
+        ys, xs = jnp.meshgrid(
+            jnp.arange(height, dtype=jnp.float32),
+            jnp.arange(width, dtype=jnp.float32),
+            indexing="ij",
+        )
+        xs, ys = xs.ravel(), ys.ravel()
+    pix = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
     if jitter is not None:
         pix = pix + jitter
     dims = jnp.array([width, height], jnp.float32)

@@ -72,6 +72,63 @@ def make_sharded_trace(mesh: Mesh, cfg: RenderConfig):
     return jax.jit(sharded)
 
 
+def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
+    """The flagship ReSTIR DI+GI frame under pixel-BAND data parallelism.
+
+    The image shards by rows into ``n_devices`` bands; scene/camera
+    replicate.  Cross-pixel reuse stays intra-band: spatial taps
+    mirror-clamp at band borders exactly like the reference clamps at image
+    borders (Common_v6.hlsl:223-236), and temporal reprojections that leave
+    the band reject reuse (safe fallback to the current-frame reservoir).
+    No per-frame collectives — the render is embarrassingly parallel.
+
+    Returns fn(scene, cam, frame, xs, ys, packed_di, packed_gi) ->
+    (sample [N,3], new_packed_di, new_packed_gi, l1 [N,3]) with xs/ys the
+    GLOBAL pixel coordinates and packed_* the [N, 26] last-frame record
+    tables (render/restir_renderer.py pack layout).
+    """
+    from royaltracer_dx_tpu.render import restir_renderer as rr
+    from royaltracer_dx_tpu.utils import pvec as pv
+
+    n_dev = mesh.devices.size
+    if cfg.height % n_dev:
+        raise ValueError(f"height {cfg.height} not divisible by {n_dev} devices")
+    band_h = cfg.height // n_dev
+
+    def local(scene, cam, frame, xs, ys, packed_di, packed_gi):
+        row0 = ys[0]
+        res_di, sdata, gi_in, seed = rr.pass1_di(scene, cam, frame, cfg, xs, ys)
+        st = rr.pass1_gi_init(scene, gi_in, seed, cfg)
+        for b in range(cfg.gi_bounces):
+            st = rr.pass1_gi_bounce(scene, cfg, st, jnp.uint32(b))
+        res_gi, _ = rr.pass1_gi_final(scene, gi_in, st, cfg)
+        res_di, res_gi = rr.pass2_temporal(
+            scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi,
+            cfg, xs=xs, ys=ys, row0=row0, band_h=band_h,
+        )
+        sample, shaded, out_di, out_gi = rr.pass3_spatial(
+            scene, cam, frame, res_di, res_gi, sdata, cfg,
+            xs=xs, ys=ys, row0=row0, band_h=band_h,
+        )
+        # ping-pong: the 'last' tables update only for shaded lanes
+        sh = shaded[:, None]
+        new_di = jnp.where(sh, rr._pack_record(sdata, out_di, rr._DI_KEYS),
+                           packed_di)
+        new_gi = jnp.where(sh, rr._pack_record(sdata, out_gi, rr._GI_KEYS),
+                           packed_gi)
+        l1 = pv.to_aos(sdata["l1"], axis=1)
+        return sample, new_di, new_gi, l1
+
+    sharded = shard_map(
+        local,
+        mesh,
+        in_specs=(P(), P(), P(), P(PIXEL_AXIS), P(PIXEL_AXIS),
+                  P(PIXEL_AXIS), P(PIXEL_AXIS)),
+        out_specs=(P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS)),
+    )
+    return jax.jit(sharded)
+
+
 def shard_pixels(mesh: Mesh, *arrays):
     """Device_put arrays with their leading dim sharded over the mesh."""
     sharding = NamedSharding(mesh, P(PIXEL_AXIS))

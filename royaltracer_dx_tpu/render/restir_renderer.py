@@ -124,13 +124,18 @@ def _unpack_record(rows: jax.Array, keys: tuple) -> tuple[dict, dict]:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig):
+def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig,
+             xs=None, ys=None):
     """Primary trace + SampleRIS + visibility W (pass1:49-171).
 
+    xs/ys: optional GLOBAL pixel coordinates of this call's lanes (defaults
+    to the full image grid; a pixel-band shard passes its band).
     Returns (reservoir_DI planes, sdata planes, gi_inputs dict, seed)."""
-    xs, ys = _pixel_grid(cfg)
+    if xs is None:
+        xs, ys = _pixel_grid(cfg)
     seed = pixel_seed(xs, ys, 1, frame)
-    origins, dirs = generate_rays(cam, cfg.width, cfg.height, None)
+    origins, dirs = generate_rays(cam, cfg.width, cfg.height, None,
+                                  xs=xs, ys=ys)
     dirs = m3.normalize(dirs)
 
     hit = restir.trace_closest_p(scene, origins, dirs, cfg, t_min=1e-4)
@@ -233,15 +238,23 @@ def pass1_gi_final(scene, gi_inputs, st, cfg: RenderConfig):
 # ================================ PASS 2 =================================
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "band_h"))
 def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
                    sdata: dict, last_packed_di, last_packed_gi,
-                   cfg: RenderConfig):
+                   cfg: RenderConfig, xs=None, ys=None, row0=0,
+                   band_h: int | None = None):
     """Temporal reuse (RayGen_v6_pass2.hlsl:47-204).
 
     cur_*/sdata are planar dicts; last_packed_* are the [N, 26] packed
-    last-frame records (one gather each instead of 12 per-field ones)."""
-    xs, ys = _pixel_grid(cfg)
+    last-frame records (one gather each instead of 12 per-field ones).
+    Under pixel-band sharding, xs/ys are the band's GLOBAL coordinates,
+    row0 its first row, band_h its height, and last_packed_* hold only the
+    band's rows: reprojections leaving the band reject temporal reuse (a
+    safe fallback to the current-frame reservoir; documented deviation)."""
+    if xs is None:
+        xs, ys = _pixel_grid(cfg)
+    if band_h is None:
+        band_h = cfg.height
     seed = pixel_seed(xs, ys, 2, frame)
     cam_pos = tuple(cam["view_inv"][c, 3] for c in range(3))
 
@@ -252,8 +265,9 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
         scene, sdata["x1"], sdata["obj"], cam["prev_view"],
         cam["prev_proj"], cfg.width, cfg.height,
     )
-    in_bounds = (px >= 0) & (px < cfg.width) & (py >= 0) & (py < cfg.height)
-    idx = jnp.clip(py, 0, cfg.height - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
+    ly = py - row0
+    in_bounds = (px >= 0) & (px < cfg.width) & (ly >= 0) & (ly < band_h)
+    idx = jnp.clip(ly, 0, band_h - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
 
     l_sd, l_di = _unpack_record(last_packed_di[idx], _DI_KEYS)
     _, l_gi = _unpack_record(last_packed_gi[idx], _GI_KEYS)
@@ -388,10 +402,14 @@ def _select_try(planes, idx_v: jax.Array):
     return jax.tree.map(sel, planes)
 
 
-def _spatial_tries(xs, ys, cfg, seed):
+def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     """TRY-MAJOR weighted-disk neighbor picks (Common_v6.hlsl:203-241).
 
-    Returns (pidx [T, N], is_center [T, N], seed)."""
+    Under pixel-band sharding, rows mirror-clamp into the band exactly like
+    the reference clamps at image borders (documented deviation).  Returns
+    (pidx [T, N] — LOCAL band indices, is_center [T, N], seed)."""
+    if band_h is None:
+        band_h = cfg.height
     tries = cfg.spatial_max_tries
     us, seed = tea_batch_major(seed, 2 * tries)        # [2T, N]
     r = cfg.spatial_radius * jnp.power(us[0::2], cfg.spatial_exponent)
@@ -399,19 +417,24 @@ def _spatial_tries(xs, ys, cfg, seed):
     ox = (jnp.cos(ang) * r).astype(jnp.int32)
     oy = (jnp.sin(ang) * r).astype(jnp.int32)
     nx = restir.mirror_clamp(xs + ox, cfg.width)
-    ny = restir.mirror_clamp(ys + oy, cfg.height)
-    is_center = (nx == xs) & (ny == ys)
-    return ny * cfg.width + nx, is_center, seed
+    ly = restir.mirror_clamp(ys - row0 + oy, band_h)   # band-local row
+    # single-reflection mirroring assumes radius << size; clip keeps tiny
+    # shard bands (band_h < radius) in range
+    ly = jnp.clip(ly, 0, band_h - 1)
+    is_center = (nx == xs) & (ly == ys - row0)
+    return ly * cfg.width + nx, is_center, seed
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "band_h"))
 def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
-                  sdata: dict, cfg: RenderConfig):
+                  sdata: dict, cfg: RenderConfig, xs=None, ys=None,
+                  row0=0, band_h: int | None = None):
     """Spatial reuse + final shade (RayGen_v6_pass3.hlsl:47-463).
 
     Returns (radiance sample [N,3], shaded_mask, out_di planes, out_gi
-    planes)."""
-    xs, ys = _pixel_grid(cfg)
+    planes).  See pass2_temporal for the pixel-band sharding contract."""
+    if xs is None:
+        xs, ys = _pixel_grid(cfg)
     seed = pixel_seed(xs, ys, 3, frame)
     cam_pos = tuple(cam["view_inv"][c, 3] for c in range(3))
     shading = ~((sdata["l1"][0] != 0.0) | (sdata["l1"][1] != 0.0)
@@ -424,7 +447,7 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS)
 
     # ---- DI candidates (pass3:107-142)
-    pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed)
+    pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
     cand_sd, cand_di = _unpack_record(packed_di[pidx], _DI_KEYS)  # [T, N]
     accept = (
         ~is_center
@@ -500,7 +523,7 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
         )
 
     # ---- GI candidates (pass3:144-189)
-    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed)
+    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
     cand_sd_g, cand_gi = _unpack_record(packed_gi[pidx_g], _GI_KEYS)
     jac = restir.jacobian_reconnection_p(
         cand_sd_g["x1"], sdata["x1"], cand_gi["xn"], cand_gi["nn"]
