@@ -254,8 +254,9 @@ def hit_attributes_p(hit: Hit, tri_table: jax.Array):
     rows = tri_table[hit.tri]                        # [N, 20] single gather
     v = [rows[:, k] for k in range(9)]
     nv = [rows[:, 9 + k] for k in range(9)]
-    mid = jax.lax.bitcast_convert_type(rows[:, 18], jnp.int32)
-    obj = jax.lax.bitcast_convert_type(rows[:, 19], jnp.int32)
+    # ids travel as float values, not bitcasts (TPU flushes denormals)
+    mid = rows[:, 18].astype(jnp.int32)
+    obj = rows[:, 19].astype(jnp.int32)
     normal, flat, area = _shade_attrs_from_planes(v, nv, hit.u, hit.v)
     return normal, flat, area, mid, obj
 

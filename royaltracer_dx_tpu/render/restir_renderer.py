@@ -94,11 +94,11 @@ def _pack_record(sd: dict, res: dict, keys: tuple) -> jax.Array:
     """sdata planes + reservoir planes -> one [N, 26] float array.
 
     Column order: x1(3) n1(3) o(3) l1(3) mid obj | vec0(3) vec1(3) vec2(3)
-    w_sum w m.  Int ids are bitcast, not converted (the miss sentinel
-    doesn't survive a float round-trip)."""
+    w_sum w m.  Int ids travel as float VALUES (exact for |id| < 2^24 —
+    the int32 miss sentinel is -2, also exact); bitcasting them instead
+    makes small ids f32 denormals, which the TPU flushes to zero."""
     cols = list(sd["x1"]) + list(sd["n1"]) + list(sd["o"]) + list(sd["l1"])
-    cols += [jax.lax.bitcast_convert_type(sd["mid"], _F),
-             jax.lax.bitcast_convert_type(sd["obj"], _F)]
+    cols += [sd["mid"].astype(_F), sd["obj"].astype(_F)]
     for k in keys:
         cols += list(res[k])
     cols += [res["w_sum"], res["w"], res["m"]]
@@ -111,8 +111,8 @@ def _unpack_record(rows: jax.Array, keys: tuple) -> tuple[dict, dict]:
     sd = dict(
         x1=(c[0], c[1], c[2]), n1=(c[3], c[4], c[5]), o=(c[6], c[7], c[8]),
         l1=(c[9], c[10], c[11]),
-        mid=jax.lax.bitcast_convert_type(c[12], _I),
-        obj=jax.lax.bitcast_convert_type(c[13], _I),
+        mid=c[12].astype(_I),
+        obj=c[13].astype(_I),
     )
     res = {keys[0]: (c[14], c[15], c[16]), keys[1]: (c[17], c[18], c[19]),
            keys[2]: (c[20], c[21], c[22]),

@@ -123,8 +123,10 @@ class SceneArrays:
     prev_object_to_world: jax.Array  # [I, 4, 4]
     bvh: object = None               # LBVH when built (traversal="bvh")
     clusters: object = None          # Clusters when built (traversal="cluster")
-    # packed per-triangle shading record: verts(9) normals(9) mid obj (ids
-    # bitcast to f32) — the hit attribute fetch is ONE row gather
+    # packed per-triangle shading record: verts(9) normals(9) mid obj — the
+    # hit attribute fetch is ONE row gather.  Ids ride as float VALUES
+    # (exact for |id| < 2^24), NOT bitcasts: small ints bitcast to f32 are
+    # denormals, which the TPU flushes to zero in transit.
     tri_table: jax.Array | None = None
 
     def with_tri_table(self) -> "SceneArrays":
@@ -133,10 +135,8 @@ class SceneArrays:
             [
                 self.tri_verts.reshape(t, 9),
                 self.tri_normals.reshape(t, 9),
-                jax.lax.bitcast_convert_type(
-                    self.tri_material.astype(jnp.int32), jnp.float32)[:, None],
-                jax.lax.bitcast_convert_type(
-                    self.tri_instance.astype(jnp.int32), jnp.float32)[:, None],
+                self.tri_material.astype(jnp.float32)[:, None],
+                self.tri_instance.astype(jnp.float32)[:, None],
             ],
             axis=1,
         )
