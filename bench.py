@@ -68,9 +68,18 @@ def main():
         for _ in range(5):
             rr.render()
         rdt = (time.perf_counter() - t0) / 5
+        # TPU smoke check (the CPU suite can't see TPU-only numeric bugs,
+        # e.g. denormal flush): the garage render must keep its material
+        # colors — distinct per-channel means — and stay finite
+        img = rr.radiance()
+        ch = img.mean(axis=(0, 1))
+        assert np.isfinite(img).all(), "non-finite radiance on TPU"
+        assert float(ch.std()) > 1e-3 * max(float(ch.mean()), 1e-6), (
+            f"gray render on TPU (channel means {ch}) — material ids lost?")
         restir_extra = {
             "restir_garage_256_frame_ms": round(rdt * 1e3, 2),
             "restir_garage_256_fps": round(1.0 / rdt, 2),
+            "restir_channel_means": [round(float(c), 4) for c in ch],
         }
     except Exception as e:  # bench must still emit its line
         restir_extra = {"restir_error": repr(e)[:200]}
