@@ -182,6 +182,69 @@ def _mt_tile(o, d, planes9, t_min, t_max):
     return jnp.where(ok, t, INF), u, v
 
 
+def _tile_cluster_mask_interval(origins, dirs, cl: Clusters, t_min, t_max,
+                                tile: int):
+    """Interval-arithmetic phase A: per-TILE conservative bounds instead of
+    per-ray slab tests — O(tiles x C) work, ~R times cheaper than the exact
+    mask.  Sound (a superset of the exact mask: interval products bound
+    every ray in the tile) but fatter, so phase B runs more rounds.
+
+    Measured (menger 1.92M tris, 512x512 primary rays, tile=128): LOSES to
+    the exact mask today (838 vs 552 ms) because rays arrive in row-major
+    order — a 128-ray tile is a 128x1 pixel sliver whose interval frustum
+    is very fat.  It pays off once rays are swizzled into square pixel
+    blocks (the MapPixelID analog) — the planned round-2 change; kept here
+    correct and parity-tested.  Returns (mask, entry-lower-bound).
+    """
+    n = origins.shape[0]
+    tiles = n // tile
+    c_count = cl.num_clusters
+
+    def tile_minmax(a):  # [N] -> ([tiles, 1], [tiles, 1])
+        a = a.reshape(tiles, tile)
+        return a.min(axis=1, keepdims=True), a.max(axis=1, keepdims=True)
+
+    big = jnp.float32(3.0e38)
+    tn_lb = tile_minmax(t_min)[0]                        # loosest near
+    tf_ub = tile_minmax(t_max)[1]
+    mask_parts = []
+    entry_parts = []
+    for c in range(3):
+        o_lo, o_hi = tile_minmax(origins[:, c])
+        d_lo, d_hi = tile_minmax(dirs[:, c])
+        lo = cl.aabb_lo[None, :, c]                      # [1, C]
+        hi = cl.aabb_hi[None, :, c]
+        # d interval containing 0 -> axis constrains nothing for this tile
+        unconstrained = (d_lo <= 0.0) & (d_hi >= 0.0)
+        safe_lo = jnp.where(unconstrained, 1.0, d_lo)
+        safe_hi = jnp.where(unconstrained, 1.0, d_hi)
+        i1 = 1.0 / safe_hi
+        i2 = 1.0 / safe_lo
+        # plane-distance intervals: a = lo - o, b = hi - o
+        a1, a2 = lo - o_hi, lo - o_lo
+        b1, b2 = hi - o_hi, hi - o_lo
+        prods = [a1 * i1, a1 * i2, a2 * i1, a2 * i2,
+                 b1 * i1, b1 * i2, b2 * i1, b2 * i2]
+        p_min = prods[0]
+        p_max = prods[0]
+        for p in prods[1:]:
+            p_min = jnp.minimum(p_min, p)
+            p_max = jnp.maximum(p_max, p)
+        near_lb = jnp.where(unconstrained, -big, p_min)  # [tiles, C]
+        far_ub = jnp.where(unconstrained, big, p_max)
+        entry_parts.append(near_lb)
+        mask_parts.append((near_lb, far_ub))
+
+    tn = tn_lb
+    tf = tf_ub
+    for near_lb, far_ub in mask_parts:
+        tn = jnp.maximum(tn, near_lb)
+        tf = jnp.minimum(tf, far_ub)
+    mask = tn <= tf
+    entry = jnp.where(mask, tn, INF)
+    return mask, entry
+
+
 def _pad_rays(origins, dirs, t_min, t_max, tile):
     n = origins.shape[0]
     pad = (-n) % tile
@@ -201,7 +264,7 @@ def _segment_sizes(tiles: int, factor: int = 4) -> list[int]:
     return sizes
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "mask_mode"))
 def closest_hit_clustered(
     origins: jax.Array,
     dirs: jax.Array,
@@ -209,6 +272,7 @@ def closest_hit_clustered(
     t_min: float | jax.Array = 1e-4,
     t_max: float | jax.Array = 1e4,
     tile: int = 128,
+    mask_mode: str = "exact",
 ) -> Hit:
     """Closest hit via the tile-clustered plan.  origins/dirs: [N, 3].
 
@@ -224,7 +288,11 @@ def closest_hit_clustered(
     n = origins.shape[0]
     tiles = n // tile
 
-    mask, entry = _tile_cluster_mask(origins, dirs, cl, t_min, t_max, tile)
+    if mask_mode == "interval":
+        mask, entry = _tile_cluster_mask_interval(
+            origins, dirs, cl, t_min, t_max, tile)
+    else:
+        mask, entry = _tile_cluster_mask(origins, dirs, cl, t_min, t_max, tile)
     # NEAR-TO-FAR per-tile ordering (entry is INF for non-overlapped) so a
     # tile can retire as soon as every remaining cluster starts beyond its
     # farthest unresolved ray
@@ -315,7 +383,7 @@ def closest_hit_clustered(
     return Hit(t=t, tri=tri, u=u, v=v)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "mask_mode"))
 def any_hit_clustered(
     origins: jax.Array,
     dirs: jax.Array,
@@ -323,6 +391,7 @@ def any_hit_clustered(
     t_min: jax.Array,
     t_max: jax.Array,
     tile: int = 128,
+    mask_mode: str = "exact",
 ) -> jax.Array:
     """Occlusion query via the tile-clustered plan: same sorted shrinking-
     prefix schedule as closest_hit_clustered; a tile retires when all its
@@ -334,7 +403,11 @@ def any_hit_clustered(
     n = origins.shape[0]
     tiles = n // tile
 
-    mask, entry = _tile_cluster_mask(origins, dirs, cl, t_min, t_max, tile)
+    if mask_mode == "interval":
+        mask, entry = _tile_cluster_mask_interval(
+            origins, dirs, cl, t_min, t_max, tile)
+    else:
+        mask, entry = _tile_cluster_mask(origins, dirs, cl, t_min, t_max, tile)
     cids = jnp.broadcast_to(
         jnp.arange(entry.shape[1], dtype=jnp.int32)[None, :], entry.shape
     )

@@ -88,6 +88,25 @@ def test_any_hit_parity(sponge, rays):
     np.testing.assert_array_equal(np.asarray(ob), np.asarray(oc))
 
 
+def test_interval_mask_matches_exact(sponge, rays):
+    """The interval-arithmetic phase A is conservative (superset mask), so
+    hits must be identical to the exact per-ray mask."""
+    tv, cl = sponge
+    o, d = rays
+    he = closest_hit_clustered(o, d, cl, tile=128, mask_mode="exact")
+    hi = closest_hit_clustered(o, d, cl, tile=128, mask_mode="interval")
+    np.testing.assert_array_equal(np.asarray(he.valid), np.asarray(hi.valid))
+    m = np.asarray(he.valid)
+    np.testing.assert_allclose(
+        np.asarray(he.t)[m], np.asarray(hi.t)[m], rtol=0, atol=0
+    )
+    t_min = jnp.full((o.shape[0],), 1e-3)
+    t_max = jnp.full((o.shape[0],), 4.0)
+    oe = any_hit_clustered(o, d, cl, t_min, t_max, tile=128, mask_mode="exact")
+    oi = any_hit_clustered(o, d, cl, t_min, t_max, tile=128, mask_mode="interval")
+    np.testing.assert_array_equal(np.asarray(oe), np.asarray(oi))
+
+
 def test_t_range_respected(sponge, rays):
     """Rays limited to a t_max short of their hit must miss."""
     tv, cl = sponge
