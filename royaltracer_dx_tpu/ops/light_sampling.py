@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from royaltracer_dx_tpu.config import EPSILON
 from royaltracer_dx_tpu.scene.types import LightTriangles
 
 
@@ -65,7 +66,7 @@ def light_tables(lights: LightTriangles, object_to_world: jax.Array) -> list:
     cr = jnp.cross(e1, e2)
     area = jnp.abs(0.5 * m3.length(cr))
     nl = m3.normalize(cr)
-    pdf = lights.weight / jnp.maximum(area, 1e-4)
+    pdf = lights.weight / jnp.maximum(area, EPSILON)
     cols = [wv[:, k, c] for k in range(3) for c in range(3)]
     cols += [nl[:, 0], nl[:, 1], nl[:, 2], pdf,
              lights.emission[:, 0], lights.emission[:, 1], lights.emission[:, 2]]

@@ -1,0 +1,968 @@
+"""Stream traversal: frustum-binned two-level acceleration, TPU-native.
+
+The DXR TraceRay replacement (RayGen_v6_pass1.hlsl:99 dispatching into the
+driver BVH built at BottomLevelASGenerator.cpp:235), designed from measured
+TPU primitive costs rather than a GPU traversal port.  Measured constraints
+that shaped it (BASELINE.md + this round's microbenchmarks):
+
+  * per-lane pointer-chasing is impossible: row gathers are ~3-27 ns/row
+    and a scalar-reduction chain inside a Pallas loop costs ~1-3 us per
+    iteration;
+  * Pallas grid steps cost ~1 us each, and a block DMA is only fast when
+    it is ONE contiguous tile-aligned row (a [1,S,9,G] 4D slice = ~576
+    strided 256 B transfers = 83 us/step — measured, round 2);
+  * dense [128-ray x 128-tri] Moller-Trumbore is the one primitive the
+    VPU runs near peak.
+
+Structure (device-resident, refit-friendly):
+  triangles --morton--> CLUSTERS of G=128 (tight AABBs)
+            --group--->  BLOCKS of S=32 clusters (4k tris, flat 147 KB row)
+
+Trace (one Pallas invocation per ray batch — no wave loop):
+  1. Rays are grouped into chunks of 128 in caller order (use
+     ``swizzle_order`` for pixel rays so a chunk is an 8x16 tile, the
+     MapPixelID analog, Common_v6.hlsl:173-198).
+  2. XLA: per-chunk interval bounds vs every block AABB (conservative
+     frustum test), per-chunk near-to-far block worklist via one lane
+     sort.  All dense, static-shaped.
+  3. Pallas kernel, grid = chunks: double-buffered manual DMA streams the
+     worklist blocks' flat triangle rows HBM->VMEM; per block the kernel
+     runs an exact per-ray cluster slab ([128 x S]) and a statically
+     unrolled per-cluster masked MT ([128 x G]) with lax.cond skipping
+     clusters no ray wants; per-ray best-t culls as it tightens and the
+     chunk exits when the next block's entry exceeds every live ray's
+     bound.
+
+Closest-hit visits blocks near-to-far and stops when the next entry is
+beyond best-t; occlusion (ShadowRay.hlsl semantics) stops at any hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from royaltracer_dx_tpu.ops.bvh import morton_codes
+from royaltracer_dx_tpu.ops.intersect import INF, Hit
+
+G = 64          # triangles per cluster
+S = 32          # clusters per block  (block = 2048 triangles)
+RAYS_PER_CHUNK = 128   # pallas-kernel chunk; the XLA path uses TILE below
+TILE = 64              # rays per tile in the XLA phase-B sweeps
+ROW = 9 * G * S          # floats per flat block row (36864 = 147 KB)
+_DET_EPS = 1e-12
+_BIG = 3.0e38
+
+
+@flax.struct.dataclass
+class StreamAccel:
+    """Two-level stream-traversal structure (device arrays).
+
+    Block b, cluster s, lane g address sorted-triangle slot
+    (b*S + s)*G + g; ``perm`` maps slots to original triangle ids (-1 for
+    padding — padded triangles are degenerate and never intersect).
+    """
+
+    blk_tris: jax.Array   # [B, 9S, G] v0/e1/e2 planes: cluster-major,
+                          # plane-major, G lanes; one contiguous 147 KB
+                          # row per block, every kernel read a [1, G]
+                          # sublane slice at lane offset 0 (Mosaic cannot
+                          # broadcast lane-offset or narrow vectors)
+    blk_boxes: jax.Array  # [B, 6, 128] cluster AABB planes (lo.xyz |
+                          # hi.xyz over S lanes; lanes >= S never hit)
+    top_lo: jax.Array     # [B, 3] block AABBs
+    top_hi: jax.Array     # [B, 3]
+    perm: jax.Array       # [B*S*G] int32
+    blk_boxes_bf16: jax.Array  # [B, 6S] outward-rounded bf16 cluster box
+                               # rows (lo.xyz|hi.xyz groups) — fetched per
+                               # (chunk, block) pair by one-hot matmul;
+                               # conservative, so culling stays exact
+
+    @property
+    def cl_flat(self) -> jax.Array:
+        """[C, 9G] flat per-cluster triangle-plane rows (view)."""
+        b = self.blk_tris.shape[0]
+        return self.blk_tris.reshape(b * S, 9 * G)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.blk_tris.shape[0]
+
+
+# ------------------------------- build ----------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_tris",))
+def _build_device(tri_padded: jax.Array, num_tris: int):
+    """Morton order + reshape-reduce AABBs; tri_padded is [B*S*G, 3, 3]."""
+    slots = tri_padded.shape[0]
+    b = slots // (S * G)
+    centroid = tri_padded.mean(axis=1)
+    real = jnp.arange(slots) < num_tris
+    lo = jnp.min(jnp.where(real[:, None], centroid, INF), axis=0)
+    hi = jnp.max(jnp.where(real[:, None], centroid, -INF), axis=0)
+    codes = morton_codes(centroid, lo, hi)
+    codes = jnp.where(real, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes)
+    sorted_tris = tri_padded[order]
+    perm = jnp.where(real[order], order.astype(jnp.int32), -1)
+    return _layout_device(sorted_tris, perm, b)
+
+
+def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
+    """Flat-row layout from sorted triangles (shared by build + refit)."""
+    pad = perm < 0
+    # degenerate (all-zero) padding never passes the MT determinant test
+    tv = jnp.where(pad[:, None, None], 0.0, sorted_tris)
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    planes = jnp.concatenate([v0, e1, e2], axis=1)            # [slots, 9]
+    # [b, S, G, 9] -> cluster-major, plane-major, G lanes
+    blk_tris = (
+        planes.reshape(b, S, G, 9).transpose(0, 1, 3, 2).reshape(b, 9 * S, G)
+    )
+    tmin = jnp.where(pad[:, None], _BIG, jnp.min(tv, axis=1))
+    tmax = jnp.where(pad[:, None], -_BIG, jnp.max(tv, axis=1))
+    cl_lo = jnp.min(tmin.reshape(b, S, G, 3), axis=2)         # [b, S, 3]
+    cl_hi = jnp.max(tmax.reshape(b, S, G, 3), axis=2)
+    def grp(a, fill):
+        return jnp.pad(a, ((0, 0), (0, 128 - S)), constant_values=fill)
+
+    groups = [grp(cl_lo[:, :, 0], _BIG), grp(cl_lo[:, :, 1], _BIG),
+              grp(cl_lo[:, :, 2], _BIG), grp(cl_hi[:, :, 0], -_BIG),
+              grp(cl_hi[:, :, 1], -_BIG), grp(cl_hi[:, :, 2], -_BIG)]
+    blk_boxes = jnp.stack(groups, axis=1)                     # [b, 6, 128]
+    real_cl = jnp.any((perm >= 0).reshape(b, S, G), axis=2)
+    top_lo = jnp.min(jnp.where(real_cl[..., None], cl_lo, _BIG), axis=1)
+    top_hi = jnp.max(jnp.where(real_cl[..., None], cl_hi, -_BIG), axis=1)
+
+    def out_lo(x):  # outward (down) bf16 rounding: 2^-8 relative margin
+        return (x - jnp.abs(x) * 0.008 - 1e-30).astype(jnp.bfloat16)
+
+    def out_hi(x):
+        return (x + jnp.abs(x) * 0.008 + 1e-30).astype(jnp.bfloat16)
+
+    bf = jnp.concatenate(
+        [out_lo(cl_lo[:, :, 0]), out_lo(cl_lo[:, :, 1]), out_lo(cl_lo[:, :, 2]),
+         out_hi(cl_hi[:, :, 0]), out_hi(cl_hi[:, :, 1]), out_hi(cl_hi[:, :, 2])],
+        axis=1)                                              # [b, 6S]
+    return StreamAccel(
+        blk_tris=blk_tris, blk_boxes=blk_boxes,
+        top_lo=top_lo, top_hi=top_hi, perm=perm, blk_boxes_bf16=bf,
+    )
+
+
+def _median_split_perm(centroids, gran_leaf: int, gran_block: int):
+    """Equal-count recursive median split along the widest centroid axis.
+
+    Returns an int32 permutation ordering triangles so that contiguous
+    runs of ``gran_leaf`` form tight clusters and runs of ``gran_block``
+    form tight blocks (split granularity switches once a segment fits in
+    a block).  Host-side numpy — the structural analog of the driver's
+    BLAS build; per-frame refit stays on device.
+    """
+    import numpy as np
+
+    c = np.asarray(centroids)
+    n = c.shape[0]
+    perm = np.arange(n, dtype=np.int64)
+    stack = [(0, n)]
+    out = []
+    while stack:
+        lo, hi = stack.pop()
+        count = hi - lo
+        if count <= gran_leaf:
+            out.append((lo, hi))
+            continue
+        gran = gran_block if count > gran_block else gran_leaf
+        seg = perm[lo:hi]
+        ext = c[seg].max(axis=0) - c[seg].min(axis=0)
+        axis = int(np.argmax(ext))
+        order = np.argsort(c[seg, axis], kind="stable")
+        perm[lo:hi] = seg[order]
+        half = count // 2
+        left = max(gran, (half // gran) * gran)
+        if left >= count:
+            left = count - gran
+        stack.append((lo, lo + left))
+        stack.append((lo + left, hi))
+    return perm.astype(np.int32)
+
+
+def build_stream_accel(tri_verts: jax.Array, method: str = "median") -> StreamAccel:
+    """Build over [T, 3, 3] world-space triangles (BLAS-build analog).
+
+    method='median': host equal-count median-split ordering (tight block
+    and cluster AABBs — the quality build, like a driver BLAS build).
+    method='morton': fully on-device morton ordering (for on-device
+    dynamic rebuilds).  Refit (refit_stream_accel) is device-only either
+    way.
+    """
+    t = tri_verts.shape[0]
+    blk = S * G
+    b = max(1, -(-t // blk))
+    pad = b * blk - t
+    if pad:
+        tri_verts = jnp.concatenate(
+            [tri_verts, jnp.full((pad, 3, 3), INF, tri_verts.dtype)], axis=0
+        )
+    if method == "morton":
+        return _build_device(tri_verts, t)
+    import numpy as np
+
+    tv = np.asarray(tri_verts[:t])
+    centroids = tv.mean(axis=1)
+    order = _median_split_perm(centroids, G, S * G)
+    perm = np.full(b * blk, -1, np.int32)
+    perm[:t] = order
+    sorted_tris = jnp.asarray(
+        np.concatenate([tv[order],
+                        np.zeros((pad, 3, 3), np.float32)], axis=0))
+    return _layout_device(sorted_tris, jnp.asarray(perm), b)
+
+
+@jax.jit
+def refit_stream_accel(accel: StreamAccel, tri_verts_new: jax.Array) -> StreamAccel:
+    """Refit with moved vertices, keeping the morton ordering/topology —
+    the TLAS updateOnly analog (TopLevelASGenerator.cpp:240, called per
+    frame at Renderer.cpp:594).  Pure device work, no host loops.
+    """
+    gathered = tri_verts_new[jnp.maximum(accel.perm, 0)]
+    return _layout_device(gathered, accel.perm, accel.num_blocks)
+
+
+# --------------------------- chunk worklists -----------------------------
+
+
+def swizzle_order(width: int, height: int, tile_w: int = 16, tile_h: int = 8):
+    """Pixel index permutation making each 128-ray chunk an 8x16 tile.
+
+    The MapPixelID analog (Common_v6.hlsl:173-198): the reference swizzles
+    pixels into 4x4 GPU tiles; here chunks become compact pixel rectangles
+    so the per-chunk frustum used for block culling stays tight.  Returns
+    (order, inverse) int32 numpy arrays of length width*height; apply as
+    ``rays[order]``, undo as ``result[inverse]``.
+    """
+    import numpy as np
+
+    assert width % tile_w == 0 and height % tile_h == 0
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    tile_id = (ys // tile_h) * (width // tile_w) + (xs // tile_w)
+    in_tile = (ys % tile_h) * tile_w + (xs % tile_w)
+    key = tile_id.astype(np.int64) * (tile_w * tile_h) + in_tile
+    order = np.argsort(key.ravel(), kind="stable").astype(np.int32)
+    inverse = np.argsort(order, kind="stable").astype(np.int32)
+    return order, inverse
+
+
+def _interval_slab(o_lo, o_hi, d_lo, d_hi, lo, hi, t_lo, t_hi):
+    """Conservative chunk-frustum vs AABB overlap via interval arithmetic.
+
+    o_*/d_*: [chunks, 3] per-chunk ray bounds; lo/hi: [X, 3] boxes;
+    t_lo/t_hi: [chunks] ray-range bounds.  Returns (pass [chunks, X],
+    entry_lb [chunks, X]) — pass is a superset of any member ray's exact
+    slab result, entry_lb a lower bound on any member ray's entry.
+    """
+    chunks = o_lo.shape[0]
+    x = lo.shape[0]
+    tn = jnp.broadcast_to(t_lo[:, None], (chunks, x))
+    tf = jnp.broadcast_to(t_hi[:, None], (chunks, x))
+    for c in range(3):
+        dl = d_lo[:, c:c + 1]
+        dh = d_hi[:, c:c + 1]
+        unconstrained = (dl <= 0.0) & (dh >= 0.0)
+        il = jnp.where(unconstrained, 1.0,
+                       1.0 / jnp.where(dh == 0.0, 1.0, dh))
+        ih = jnp.where(unconstrained, 1.0,
+                       1.0 / jnp.where(dl == 0.0, 1.0, dl))
+        a1 = lo[None, :, c] - o_hi[:, c:c + 1]
+        a2 = lo[None, :, c] - o_lo[:, c:c + 1]
+        b1 = hi[None, :, c] - o_hi[:, c:c + 1]
+        b2 = hi[None, :, c] - o_lo[:, c:c + 1]
+        p_min = jnp.minimum(
+            jnp.minimum(jnp.minimum(a1 * il, a1 * ih),
+                        jnp.minimum(a2 * il, a2 * ih)),
+            jnp.minimum(jnp.minimum(b1 * il, b1 * ih),
+                        jnp.minimum(b2 * il, b2 * ih)))
+        p_max = jnp.maximum(
+            jnp.maximum(jnp.maximum(a1 * il, a1 * ih),
+                        jnp.maximum(a2 * il, a2 * ih)),
+            jnp.maximum(jnp.maximum(b1 * il, b1 * ih),
+                        jnp.maximum(b2 * il, b2 * ih)))
+        near = jnp.where(unconstrained, -_BIG, p_min)
+        far = jnp.where(unconstrained, _BIG, p_max)
+        tn = jnp.maximum(tn, near)
+        tf = jnp.minimum(tf, far)
+    return tn <= tf, jnp.maximum(tn, 0.0)
+
+
+def _build_worklists(origins, dirs, t_min, t_max, accel, wb: int):
+    """Per-chunk near-to-far block worklists.
+
+    Returns (wl [chunks, wb] i32 block ids, went [chunks, wb] f32 entry
+    lower bounds, cnt [chunks, 1] i32, overflow [] bool).
+    """
+    n = origins.shape[0]
+    chunks = n // RAYS_PER_CHUNK
+    b = accel.num_blocks
+
+    def bounds(a):
+        a = a.reshape(chunks, RAYS_PER_CHUNK, 3)
+        return a.min(axis=1), a.max(axis=1)
+
+    o_lo, o_hi = bounds(origins)
+    d_lo, d_hi = bounds(dirs)
+    t_lo = t_min.reshape(chunks, RAYS_PER_CHUNK).min(axis=1)
+    t_hi = t_max.reshape(chunks, RAYS_PER_CHUNK).max(axis=1)
+
+    ok, entry = _interval_slab(
+        o_lo, o_hi, d_lo, d_hi, accel.top_lo, accel.top_hi, t_lo, t_hi)
+    key = jnp.where(ok, entry, INF)
+    bid = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], key.shape)
+    skey, sbid = jax.lax.sort((key, bid), dimension=1, num_keys=1)
+    if b < wb:
+        skey = jnp.pad(skey, ((0, 0), (0, wb - b)), constant_values=INF)
+        sbid = jnp.pad(sbid, ((0, 0), (0, wb - b)))
+    wl = sbid[:, :wb]
+    went = skey[:, :wb]
+    cnt_true = jnp.sum(ok.astype(jnp.int32), axis=1)
+    cnt = jnp.minimum(cnt_true, wb)[:, None]
+    overflow = jnp.any(cnt_true > wb)
+    return wl, went, cnt, overflow
+
+
+# ----------------------------- Pallas kernel ----------------------------
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _make_kernel(occlusion: bool, wb: int):
+    """Per-chunk kernel: stream worklist blocks, exact per-ray tests.
+
+    Rows [128, 16]: o.xyz d.xyz t_min t_cur valid pad7.  Out [128, 8]:
+    t u v slot(float, -1 = none) pad4; occlusion encodes a hit as t=0.
+    """
+
+    def kernel(wl_ref, went_ref, cnt_ref, rows_ref, tris_hbm, boxes_hbm,
+               out_ref, buf_t, buf_b, st, sem_t, sem_b):
+        rows = rows_ref[:]                       # [128, 16]
+        o = [rows[:, c:c + 1] for c in range(3)]
+        d = [rows[:, 3 + c:4 + c] for c in range(3)]
+        inv = [_safe_inv(c) for c in d]
+        oi = [o[c] * inv[c] for c in range(3)]
+        t_min = rows[:, 6:7]
+        tcur = rows[:, 7:8]
+        valid = rows[:, 8:9] > 0.5
+        cnt = cnt_ref[0, 0, 0]
+
+        def tdma(w, slot):
+            return pltpu.make_async_copy(
+                tris_hbm.at[wl_ref[0, 0, w]], buf_t.at[slot],
+                sem_t.at[slot])
+
+        def bdma(w, slot):
+            return pltpu.make_async_copy(
+                boxes_hbm.at[wl_ref[0, 0, w]], buf_b.at[slot],
+                sem_b.at[slot])
+
+        @pl.when(cnt > 0)
+        def _():
+            tdma(0, 0).start()
+            bdma(0, 0).start()
+
+        lane_gf = jax.lax.broadcasted_iota(
+            jnp.int32, (RAYS_PER_CHUNK, G), 1).astype(jnp.float32)
+
+        # per-ray running state lives in scratch (st persists across grid
+        # steps -> re-init each step): t | tri | u | v
+        st[:, 0:1] = tcur * 1.0
+        st[:, 1:2] = jnp.zeros((RAYS_PER_CHUNK, 1), jnp.float32) - 1.0
+        st[:, 2:4] = jnp.zeros((RAYS_PER_CHUNK, 2), jnp.float32)
+
+        def block_body(state):
+            w, bound_prev, ncl = state
+            slot = jax.lax.rem(w, jnp.int32(2))
+
+            @pl.when(w + 1 < cnt)
+            def _():
+                nslot = jax.lax.rem(w + 1, jnp.int32(2))
+                tdma(w + 1, nslot).start()
+                bdma(w + 1, nslot).start()
+
+            tdma(w, slot).wait()
+            bdma(w, slot).wait()
+
+            tbest0 = st[:, 0:1]
+            bb = buf_b[slot]                     # [6, 128]
+            tn = jnp.broadcast_to(t_min, (RAYS_PER_CHUNK, 128))
+            tf = jnp.broadcast_to(tbest0, (RAYS_PER_CHUNK, 128))
+            for c in range(3):
+                blo = bb[c:c + 1, :]
+                bhi = bb[3 + c:4 + c, :]
+                t0 = blo * inv[c] - oi[c]
+                t1 = bhi * inv[c] - oi[c]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            cand = (tn <= tf) & valid            # [128, 128]
+            hot_cl = jnp.sum(cand.astype(jnp.int32), axis=0,
+                             keepdims=True)      # [1, 128]
+
+            bt = buf_t[slot]                     # [9S, G]
+            bid_f = wl_ref[0, 0, w].astype(jnp.float32)
+
+            def cluster(s):
+                tbest = st[:, 0:1]
+                p = [bt[s * 9 + k: s * 9 + k + 1, :] for k in range(9)]
+                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = p
+                ox, oy, oz = o
+                dx, dy, dz = d
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                uu = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > _DET_EPS)
+                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > t_min) & (tt < tbest)
+                    & cand[:, s:s + 1]
+                )
+                tt = jnp.where(ok, tt, _BIG)
+                if occlusion:
+                    hit = jnp.any(tt < _BIG, axis=1, keepdims=True)
+                    st[:, 0:1] = jnp.where(hit, 0.0, tbest)
+                    return
+                t_c = jnp.min(tt, axis=1, keepdims=True)
+                idx = jnp.min(jnp.where(tt <= t_c, lane_gf, float(G)),
+                              axis=1, keepdims=True)  # first-min lane
+                hot = lane_gf == idx
+                u_c = jnp.sum(jnp.where(hot, uu, 0.0), axis=1, keepdims=True)
+                v_c = jnp.sum(jnp.where(hot, vv, 0.0), axis=1, keepdims=True)
+                better = t_c < tbest
+                slotf = (bid_f * S + s) * G + idx
+                st[:, 0:1] = jnp.where(better, t_c, tbest)
+                st[:, 1:2] = jnp.where(better, slotf, st[:, 1:2])
+                st[:, 2:3] = jnp.where(better, u_c, st[:, 2:3])
+                st[:, 3:4] = jnp.where(better, v_c, st[:, 3:4])
+
+            for s in range(S):                   # static unroll, when-skip
+                pl.when(hot_cl[0, s] > 0)(functools.partial(cluster, s))
+            ncl_blk = jnp.sum((hot_cl > 0).astype(jnp.int32))
+
+            tbest = st[:, 0:1]
+            if occlusion:
+                bound = jnp.where(jnp.any(valid & (tbest > 0.0)), 1.0, -_BIG)
+            else:
+                bound = jnp.max(jnp.where(valid, tbest, 0.0))
+            return w + 1, bound, ncl + ncl_blk
+
+        def cond(state):
+            w, bound, ncl = state
+            if occlusion:
+                more = bound > 0.0
+            else:
+                more = went_ref[0, 0, jnp.minimum(w, wb - 1)] < bound
+            return (w < cnt) & more
+
+        if occlusion:
+            bound0 = jnp.where(jnp.any(valid), 1.0, -_BIG)
+        else:
+            bound0 = jnp.max(jnp.where(valid, tcur, 0.0))
+        w_fin, _, ncl_fin = jax.lax.while_loop(
+            cond, block_body, (jnp.int32(0), bound0, jnp.int32(0)))
+        tbest = st[:, 0:1]
+        tri = st[:, 1:2]
+        u = st[:, 2:3]
+        v = st[:, 3:4]
+
+        # drain: on (early) exit at w_fin, DMA pair w_fin is in flight
+        # (started by the warm-up or by body(w_fin - 1)) and must be
+        # waited before the next grid step reuses the semaphores
+        @pl.when(w_fin < cnt)
+        def _():
+            fslot = jax.lax.rem(w_fin, jnp.int32(2))
+            tdma(w_fin, fslot).wait()
+            bdma(w_fin, fslot).wait()
+
+        if occlusion:
+            improved = tbest <= 0.0
+            tri = jnp.ones_like(tri)   # marker: col 3 >= 0 means occluded
+        else:
+            improved = tbest < tcur
+        out_ref[:, 0:1] = tbest
+        out_ref[:, 1:2] = u
+        out_ref[:, 2:3] = v
+        # slot id rides as a float VALUE (exact < 2^24; bitcast ints are
+        # denormal-flushed on TPU)
+        out_ref[:, 3:4] = jnp.where(improved, tri, -1.0)
+        # debug/metrics: blocks visited + clusters MT'd by this chunk
+        out_ref[:, 4:5] = jnp.zeros(
+            (RAYS_PER_CHUNK, 1), jnp.float32) + w_fin.astype(jnp.float32)
+        out_ref[:, 5:6] = jnp.zeros(
+            (RAYS_PER_CHUNK, 1), jnp.float32) + ncl_fin.astype(jnp.float32)
+        out_ref[:, 6:8] = jnp.zeros((RAYS_PER_CHUNK, 2), jnp.float32)
+
+    return kernel
+
+
+def _safe_inv(d):
+    big = jnp.where(d >= 0.0, 1e30, -1e30)
+    return jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, big)
+
+
+def _run_kernel(wl, went, cnt, rows, accel, occlusion: bool, wb: int):
+    chunks = wl.shape[0]
+    n_pad = rows.shape[0]
+    return pl.pallas_call(
+        _make_kernel(occlusion, wb),
+        grid=(chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RAYS_PER_CHUNK, 16), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((RAYS_PER_CHUNK, 8), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9 * S, G), jnp.float32),
+            pltpu.VMEM((2, 6, 128), jnp.float32),
+            pltpu.VMEM((RAYS_PER_CHUNK, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(wl[:, None, :], went[:, None, :], cnt[:, :, None],
+      rows, accel.blk_tris, accel.blk_boxes)
+
+
+# ------------------------------- tracing --------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("occlusion", "wb"))
+def _trace_stream(origins, dirs, accel: StreamAccel, t_min, t_max,
+                  occlusion: bool, wb: int):
+    n = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    n_pad = -(-n // RAYS_PER_CHUNK) * RAYS_PER_CHUNK
+    pad = n_pad - n
+
+    def padr(a, v=0.0):
+        if pad == 0:
+            return a
+        w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, w, constant_values=v)
+
+    op = padr(origins)
+    dp = padr(dirs, 1.0)
+    tminp = padr(t_min)
+    tmaxp = padr(t_max, -1.0)
+    validp = padr(jnp.ones((n,), jnp.float32))
+
+    wl, went, cnt, overflow = _build_worklists(op, dp, tminp, tmaxp,
+                                               accel, wb)
+    rows = jnp.concatenate(
+        [op, dp, tminp[:, None], tmaxp[:, None], validp[:, None],
+         jnp.zeros((n_pad, 7), jnp.float32)], axis=1)
+    res = _run_kernel(wl, went, cnt, rows, accel, occlusion, wb)
+    return res[:n], overflow
+
+
+def closest_hit_stream(origins, dirs, accel: StreamAccel,
+                       t_min=1e-4, t_max=1e4, wb: int = 64) -> Hit:
+    """Closest hit of [N, 3] rays via the stream traversal.
+
+    ``wb`` caps the per-chunk block worklist; a chunk frustum overlapping
+    more than ``wb`` blocks is reported via ``last_overflow`` (a device
+    bool — raise wb if it ever reads True).
+    """
+    best, overflow = _trace_stream(origins, dirs, accel,
+                                   t_min, t_max, False, wb)
+    closest_hit_stream.last_overflow = overflow
+    slot = best[:, 3].astype(jnp.int32)
+    found = slot >= 0
+    orig = jnp.where(found, accel.perm[jnp.maximum(slot, 0)], 0)
+    return Hit(
+        t=jnp.where(found, best[:, 0], INF),
+        tri=orig.astype(jnp.int32),
+        u=best[:, 1],
+        v=best[:, 2],
+    )
+
+
+def any_hit_stream(origins, dirs, accel: StreamAccel,
+                   t_min, t_max, wb: int = 64) -> jax.Array:
+    """Boolean occlusion query (ShadowRay.hlsl semantics)."""
+    best, overflow = _trace_stream(origins, dirs, accel,
+                                   t_min, t_max, True, wb)
+    any_hit_stream.last_overflow = overflow
+    return best[:, 3] >= 0.0
+
+
+# --------------------------- XLA trace path ------------------------------
+#
+# Measured on this host (round 2): Pallas custom-call kernels execute ~1000x
+# below hardware speed through the axon tunnel (one 4 MB DMA pair = 96 ms =
+# 0.09 GB/s; a trivial in-kernel fori iteration = 14 us), while XLA ops run
+# at full device speed (bf16 matmul 101 TFLOP/s, 1D sorts ~1 G elt/s).  The
+# default trace path below is therefore pure XLA; the Pallas kernel above is
+# the deployment design for environments with native Pallas execution.
+
+
+def _segment_sizes(tiles: int, factor: int = 4) -> list:
+    sizes = [tiles]
+    while sizes[-1] > factor:
+        sizes.append(max(1, sizes[-1] // factor))
+    return sizes
+
+
+def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel):
+    """Per-tile near-to-far block ordering (computed once per trace).
+
+    Rays with t_max <= t_min (masked/padding rays) are excluded from the
+    tile interval bounds so dead lanes don't fatten the frustum.  Returns
+    (sbid [tiles, B] i32, skey [tiles, B] f32 entry lbs with INF for
+    non-overlap, bcnt [tiles], tile interval bounds)."""
+    n = origins.shape[0]
+    tiles = n // TILE
+    b = accel.num_blocks
+    live = (t_max > t_min).reshape(tiles, TILE, 1)
+
+    def bounds(a):
+        a = a.reshape(tiles, TILE, 3)
+        return (jnp.min(jnp.where(live, a, _BIG), axis=1),
+                jnp.max(jnp.where(live, a, -_BIG), axis=1))
+
+    o_lo, o_hi = bounds(origins)
+    d_lo, d_hi = bounds(dirs)
+    t_lo = jnp.min(jnp.where(live[:, :, 0],
+                             t_min.reshape(tiles, TILE), _BIG), axis=1)
+    t_hi = jnp.max(jnp.where(live[:, :, 0],
+                             t_max.reshape(tiles, TILE), -_BIG), axis=1)
+
+    ok, entry = _interval_slab(
+        o_lo, o_hi, d_lo, d_hi, accel.top_lo, accel.top_hi, t_lo, t_hi)
+    key = jnp.where(ok, entry, INF)
+    bid = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], key.shape)
+    skey, sbid = jax.lax.sort((key, bid), dimension=1, num_keys=1)
+    bcnt = jnp.sum(ok.astype(jnp.int32), axis=1)
+    return sbid, skey, bcnt, (o_lo, o_hi, d_lo, d_hi, t_lo, t_hi)
+
+
+def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int):
+    """Cluster worklist for blocks ranked [w0, w0+wb) per tile.
+
+    One one-hot matmul fetches the outward-rounded bf16 cluster boxes of
+    the window's blocks; an interval slab tests their S clusters; a lane
+    sort orders candidates near-to-far.  Returns (ccid [tiles, wb*S],
+    centry [tiles, wb*S] f32 (INF pad), ccnt [tiles])."""
+    o_lo, o_hi, d_lo, d_hi, t_lo, t_hi = tb
+    tiles, bp = sbid.shape
+    b = accel.num_blocks
+    hi = min(w0 + wb, bp)
+    wl = sbid[:, w0:hi]
+    wok = skey[:, w0:hi] < INF
+    wbw = hi - w0
+    if wbw <= 0:
+        z = jnp.zeros((tiles, 1), jnp.int32)
+        return z, jnp.full((tiles, 1), INF), z[:, 0]
+
+    flat_bid = wl.reshape(tiles * wbw)
+    oh = (flat_bid[:, None] ==
+          jnp.arange(b, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    rows = jnp.dot(oh, accel.blk_boxes_bf16,
+                   preferred_element_type=jnp.float32)    # [tiles*wbw, 6S]
+    boxes = rows.reshape(tiles, wbw, 6, S)
+    cl_lo = jnp.moveaxis(boxes[:, :, 0:3, :], 2, 3)       # [tiles, wbw, S, 3]
+    cl_hi = jnp.moveaxis(boxes[:, :, 3:6, :], 2, 3)
+    cok, centry = _interval_slab_batched(
+        o_lo, o_hi, d_lo, d_hi, cl_lo, cl_hi, t_lo, t_hi)
+    cok = cok & wok[:, :, None]
+    ckey = jnp.where(cok, centry, INF).reshape(tiles, wbw * S)
+    cid = (wl[:, :, None] * S
+           + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+           ).reshape(tiles, wbw * S)
+    centry_s, ccid = jax.lax.sort((ckey, cid), dimension=1, num_keys=1)
+    ccnt = jnp.sum(cok.reshape(tiles, wbw * S).astype(jnp.int32), axis=1)
+    return ccid, centry_s, ccnt
+
+
+def _interval_slab_batched(o_lo, o_hi, d_lo, d_hi, lo, hi, t_lo, t_hi):
+    """_interval_slab for per-tile box sets: lo/hi [tiles, wb, S, 3]."""
+    tiles, wb, s_, _ = lo.shape
+    tn = jnp.broadcast_to(t_lo[:, None, None], (tiles, wb, s_))
+    tf = jnp.broadcast_to(t_hi[:, None, None], (tiles, wb, s_))
+    for c in range(3):
+        dl = d_lo[:, c:c + 1, None]
+        dh = d_hi[:, c:c + 1, None]
+        unconstrained = (dl <= 0.0) & (dh >= 0.0)
+        il = jnp.where(unconstrained, 1.0,
+                       1.0 / jnp.where(dh == 0.0, 1.0, dh))
+        ih = jnp.where(unconstrained, 1.0,
+                       1.0 / jnp.where(dl == 0.0, 1.0, dl))
+        a1 = lo[:, :, :, c] - o_hi[:, c:c + 1, None]
+        a2 = lo[:, :, :, c] - o_lo[:, c:c + 1, None]
+        b1 = hi[:, :, :, c] - o_hi[:, c:c + 1, None]
+        b2 = hi[:, :, :, c] - o_lo[:, c:c + 1, None]
+        p_min = jnp.minimum(
+            jnp.minimum(jnp.minimum(a1 * il, a1 * ih),
+                        jnp.minimum(a2 * il, a2 * ih)),
+            jnp.minimum(jnp.minimum(b1 * il, b1 * ih),
+                        jnp.minimum(b2 * il, b2 * ih)))
+        p_max = jnp.maximum(
+            jnp.maximum(jnp.maximum(a1 * il, a1 * ih),
+                        jnp.maximum(a2 * il, a2 * ih)),
+            jnp.maximum(jnp.maximum(b1 * il, b1 * ih),
+                        jnp.maximum(b2 * il, b2 * ih)))
+        near = jnp.where(unconstrained, -_BIG, p_min)
+        far = jnp.where(unconstrained, _BIG, p_max)
+        tn = jnp.maximum(tn, near)
+        tf = jnp.minimum(tf, far)
+    return tn <= tf, jnp.maximum(tn, 0.0)
+
+
+def _mt_rows(o, d, rows, t_min, t_max):
+    """MT of [tiles, R] rays vs their gathered cluster rows [tiles, 9G].
+
+    o/d: 3 planes of [tiles, R, 1]; t_min/t_max [tiles, R, 1].
+    Returns (t, u, v) [tiles, R, G]."""
+    p = [rows[:, k * G:(k + 1) * G][:, None, :] for k in range(9)]
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = p
+    ox, oy, oz = o
+    dx, dy, dz = d
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_max)
+    )
+    return jnp.where(ok, t, INF), u, v
+
+
+def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
+    """Workload-sorted shrinking-prefix lockstep sweep over a cluster
+    worklist (the proven phase-B machinery of ops/cluster_traverse.py):
+    per round every live tile gathers ONE cluster row and runs dense
+    [TILE x G] MT with per-ray best-t culling.  ``rays`` = (o, d, t_min_t,
+    t_max_t) in [tiles, TILE(, 1)] layout; ``best`` = (t, slot, u, v)."""
+    o, d, t_min_t, t_max_t = rays
+    tiles = ccnt.shape[0]
+    perm = jnp.argsort(-ccnt)
+    inv_perm = jnp.argsort(perm)
+    ccnt = ccnt[perm]
+    ccid = ccid[perm]
+    centry = centry[perm]
+    o = [c[perm] for c in o]
+    d = [c[perm] for c in d]
+    t_min_t = t_min_t[perm]
+    t_max_t = t_max_t[perm]
+    best = tuple(b[perm] for b in best)
+    lane = jax.lax.iota(jnp.int32, G)[None, None, :]
+    wcl = ccid.shape[1]
+
+    def pending(k, best_t, lo, hi):
+        nxt = jax.lax.dynamic_slice_in_dim(
+            centry[lo:hi], k, 1, axis=1)[:, 0]
+        if occlusion:
+            live = jnp.any(best_t[lo:hi] > 0.0, axis=1)
+            return (k < ccnt[lo:hi]) & live & (nxt < INF)
+        bound = jnp.max(jnp.minimum(best_t[lo:hi], t_max_t[lo:hi, :, 0]),
+                        axis=1)
+        return (k < ccnt[lo:hi]) & (nxt < bound)
+
+    k = jnp.int32(0)
+    sizes = _segment_sizes(tiles)
+    for si, size in enumerate(sizes):
+        lower = sizes[si + 1] if si + 1 < len(sizes) else 0
+        wl_s = ccid[:size]
+        o_s = [c[:size] for c in o]
+        d_s = [c[:size] for c in d]
+        tmin_s = t_min_t[:size]
+        tmax_s = t_max_t[:size]
+
+        def cond(st, lower=lower, size=size):
+            kk, best_t = st[0], st[1]
+            return (kk < wcl) & jnp.any(pending(kk, best_t, lower, size))
+
+        def body(st, size=size, wl_s=wl_s, o_s=o_s, d_s=d_s,
+                 tmin_s=tmin_s, tmax_s=tmax_s):
+            kk, best_t, best_tri, best_u, best_v = st
+            cid = jax.lax.dynamic_slice_in_dim(wl_s, kk, 1, axis=1)[:, 0]
+            rows = cl_flat[cid]                          # [size, 9G]
+            active = pending(kk, best_t, 0, size)[:, None, None]
+            cut = jnp.minimum(best_t[..., None], tmax_s)
+            t, u, v = _mt_rows(o_s, d_s, rows, tmin_s, cut)
+            t = jnp.where(active, t, INF)
+            if occlusion:
+                hit = jnp.any(t < INF, axis=-1)
+                best_t = jnp.where(hit, 0.0, best_t)
+                return (kk + 1, best_t, best_tri, best_u, best_v)
+            t_c = jnp.min(t, axis=-1)
+            idx = jnp.argmin(t, axis=-1)
+            hot = idx[..., None] == lane
+            u_c = jnp.sum(jnp.where(hot, u, 0.0), axis=-1)
+            v_c = jnp.sum(jnp.where(hot, v, 0.0), axis=-1)
+            slot = cid[:, None] * G + idx
+            better = t_c < best_t
+            return (
+                kk + 1,
+                jnp.where(better, t_c, best_t),
+                jnp.where(better, slot, best_tri),
+                jnp.where(better, u_c, best_u),
+                jnp.where(better, v_c, best_v),
+            )
+
+        st = (k,) + tuple(bb[:size] for bb in best)
+        st = jax.lax.while_loop(cond, body, st)
+        k = st[0]
+        best = tuple(
+            jnp.concatenate([new, old[size:]], axis=0)
+            for new, old in zip(st[1:], best)
+        )
+
+    return tuple(bb[inv_perm] for bb in best)
+
+
+N_WINDOWS = 4
+
+
+@functools.partial(jax.jit, static_argnames=("occlusion", "wb"))
+def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
+                      occlusion: bool, wb: int):
+    """Pure-XLA trace: block windows of interval-culled cluster worklists
+    + workload-sorted shrinking-prefix MT sweeps (per-ray exact).
+
+    Window 0 covers each tile's wb nearest overlapped blocks; later
+    windows (up to N_WINDOWS) run under lax.cond only while some tile
+    still has unresolved farther blocks — so miss-heavy scenes stay
+    correct without paying wb*N_WINDOWS sorting everywhere.
+    """
+    n = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        t_min = jnp.pad(t_min, (0, pad))
+        t_max = jnp.pad(t_max, (0, pad), constant_values=-1.0)  # never hits
+    tiles = n_pad // TILE
+    bp = accel.num_blocks
+
+    sbid, skey, bcnt, tb = _block_sort(origins, dirs, t_min, t_max, accel)
+
+    o = [origins[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    d = [dirs[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    t_min_t = t_min.reshape(tiles, TILE)[..., None]
+    t_max_t = t_max.reshape(tiles, TILE)[..., None]
+    rays = (o, d, t_min_t, t_max_t)
+    cl_flat = accel.cl_flat
+
+    zero = jnp.zeros((tiles, TILE), jnp.float32)
+    if occlusion:
+        # best_t > 0 means "not yet occluded"; padding rays start retired
+        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),
+                zero.astype(jnp.int32) - 1, zero, zero)
+    else:
+        best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
+
+    def window_live(w0, best_t):
+        has_more = bcnt > w0
+        if occlusion:
+            live = jnp.any(best_t > 0.0, axis=1)
+            return jnp.any(has_more & live)
+        col = skey[:, jnp.minimum(w0, bp - 1)]
+        bound = jnp.max(jnp.minimum(best_t, t_max_t[:, :, 0]), axis=1)
+        return jnp.any(has_more & (col < bound))
+
+    for win in range(N_WINDOWS):
+        w0 = win * wb
+        if w0 >= bp and win > 0:
+            break
+
+        def run(best, w0=w0):
+            ccid, centry, ccnt = _cluster_window(
+                sbid, skey, tb, accel, wb, w0)
+            return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
+                          occlusion)
+
+        if win == 0:
+            best = run(best)
+        else:
+            best = jax.lax.cond(window_live(w0, best[0]), run,
+                                lambda b: b, best)
+
+    overflow = window_live(N_WINDOWS * wb, best[0]) if (
+        N_WINDOWS * wb < bp) else jnp.asarray(False)
+
+    out = tuple(bb.reshape(n_pad)[:n] for bb in best)
+    return out, overflow
+
+
+def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
+                           t_min=1e-4, t_max=1e4, wb: int = 48) -> Hit:
+    """Closest hit via the pure-XLA stream traversal (default path)."""
+    (t, slot, u, v), overflow = _trace_stream_xla(
+        origins, dirs, accel,
+        jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
+        False, wb)
+    closest_hit_stream_xla.last_overflow = overflow
+    found = slot >= 0
+    orig = jnp.where(found, accel.perm[jnp.maximum(slot, 0)], 0)
+    return Hit(t=jnp.where(found, t, INF), tri=orig.astype(jnp.int32),
+               u=u, v=v)
+
+
+def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
+                       t_min, t_max, wb: int = 48) -> jax.Array:
+    """Occlusion query via the pure-XLA stream traversal.
+
+    "Occluded" is encoded as best_t forced to 0 during the sweep."""
+    (t, slot, u, v), overflow = _trace_stream_xla(
+        origins, dirs, accel,
+        jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
+        True, wb)
+    any_hit_stream_xla.last_overflow = overflow
+    # masked rays (t_max <= t_min) start "retired" with the same t=0
+    # encoding as occluded — they are NOT occluded
+    n = t.shape[0]
+    live = (jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+            > jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
+    return (t <= 0.0) & live

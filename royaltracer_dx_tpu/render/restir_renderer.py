@@ -419,7 +419,8 @@ def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     nx = restir.mirror_clamp(xs + ox, cfg.width)
     ly = restir.mirror_clamp(ys - row0 + oy, band_h)   # band-local row
     # single-reflection mirroring assumes radius << size; clip keeps tiny
-    # shard bands (band_h < radius) in range
+    # images/bands (size < radius) in range on both axes
+    nx = jnp.clip(nx, 0, cfg.width - 1)
     ly = jnp.clip(ly, 0, band_h - 1)
     is_center = (nx == xs) & (ly == ys - row0)
     return ly * cfg.width + nx, is_center, seed

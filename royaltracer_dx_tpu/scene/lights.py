@@ -20,6 +20,7 @@ def collect_emissive_triangles(
     meshes: list[MeshData],
     instance_mesh: list[int],
     ke_table: np.ndarray,
+    transforms: list[np.ndarray] | None = None,
 ) -> LightTriangles:
     """Build the light table.
 
@@ -28,6 +29,15 @@ def collect_emissive_triangles(
       instance_mesh: mesh index per instance (Renderer.cpp:915-923 creates
         one instance per model).
       ke_table: [M, 3] global material emission table.
+      transforms: optional per-instance object-to-world matrices.  The
+        reference weighs lights by OBJECT-space area (it maps the raw VB,
+        Renderer.cpp:2123-2213, and only ever instanced lights with
+        identity transforms); we weigh by WORLD-space area so the CDF
+        selection probabilities stay consistent with the world-space pdf
+        the samplers compute (ops/light_sampling.py light_tables) for
+        scaled/animated emissive instances.  Stored vertices remain
+        object-space — samplers transform through the CURRENT frame's
+        matrices (light_world_verts).
     """
     verts, inst, weight, emission = [], [], [], []
     for instance_index, mesh_index in enumerate(instance_mesh):
@@ -38,8 +48,12 @@ def collect_emissive_triangles(
         if not lit.any():
             continue
         tv = tri[lit]
-        e1 = tv[:, 1] - tv[:, 0]
-        e2 = tv[:, 2] - tv[:, 0]
+        tw = tv
+        if transforms is not None:
+            m = np.asarray(transforms[instance_index], np.float32)
+            tw = tv @ m[:3, :3].T + m[:3, 3]
+        e1 = tw[:, 1] - tw[:, 0]
+        e2 = tw[:, 2] - tw[:, 0]
         area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
         avg_ke = ke[lit].mean(axis=-1)
         verts.append(tv)

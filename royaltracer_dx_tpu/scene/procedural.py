@@ -139,3 +139,67 @@ def random_tris(n: int, seed: int = 0, extent: float = 1.0, size: float = 0.02):
     verts = tri_verts.reshape(-1, 3)
     indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
     return verts, indices
+
+
+def heightfield(res: int = 708, extent: float = 2.0, seed: int = 0):
+    """fBm-displaced heightfield grid → (vertices [V,3], indices [T,3]).
+
+    res=708 gives ~1.0M triangles — the BASELINE.json config-3 operating
+    point (bunny/dragon-class compact surface; generated procedurally
+    because this host has no asset egress).  Smooth multi-octave sines so
+    normals/derivatives are well behaved.
+    """
+    x = np.linspace(-extent, extent, res, dtype=np.float32)
+    z = np.linspace(-extent, extent, res, dtype=np.float32)
+    xx, zz = np.meshgrid(x, z, indexing="ij")
+    rng = np.random.default_rng(seed)
+    y = np.zeros_like(xx)
+    for octave in range(5):
+        f = 1.5 * 2.0 ** octave
+        ax, az = rng.uniform(0, 6.28, 2)
+        y += (0.5 ** octave) * 0.35 * (
+            np.sin(f * xx + ax) * np.cos(f * zz + az))
+    verts = np.stack([xx, y, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    i = np.arange(res - 1)
+    j = np.arange(res - 1)
+    ii, jj = np.meshgrid(i, j, indexing="ij")
+    v00 = (ii * res + jj).ravel()
+    v01 = v00 + 1
+    v10 = v00 + res
+    v11 = v10 + 1
+    tris = np.concatenate(
+        [np.stack([v00, v10, v01], axis=-1),
+         np.stack([v01, v10, v11], axis=-1)], axis=0).astype(np.int32)
+    return verts, tris
+
+
+def displaced_sphere(subdiv: int = 512, seed: int = 0):
+    """fBm-displaced UV sphere → (vertices, indices), ~2*subdiv^2 tris.
+
+    subdiv=707 ≈ 1.0M triangles; a closed dragon-class blob for traversal
+    benchmarks (compact surface, misses exit quickly).
+    """
+    u = np.linspace(0, 2 * np.pi, subdiv, endpoint=False, dtype=np.float32)
+    v = np.linspace(1e-3, np.pi - 1e-3, subdiv, dtype=np.float32)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    rng = np.random.default_rng(seed)
+    r = np.ones_like(uu)
+    for octave in range(4):
+        f = 3.0 * 2.0 ** octave
+        au, av = rng.uniform(0, 6.28, 2)
+        r += (0.45 ** (octave + 1)) * np.sin(f * uu + au) * np.sin(f * vv + av)
+    x = r * np.sin(vv) * np.cos(uu)
+    y = r * np.cos(vv)
+    z = r * np.sin(vv) * np.sin(uu)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    i = np.arange(subdiv, dtype=np.int64)
+    j = np.arange(subdiv - 1, dtype=np.int64)
+    ii, jj = np.meshgrid(i, j, indexing="ij")
+    v00 = (ii * subdiv + jj).ravel()
+    v01 = v00 + 1
+    v10 = (((ii + 1) % subdiv) * subdiv + jj).ravel()
+    v11 = v10 + 1
+    tris = np.concatenate(
+        [np.stack([v00, v10, v01], axis=-1),
+         np.stack([v01, v10, v11], axis=-1)], axis=0).astype(np.int32)
+    return verts, tris

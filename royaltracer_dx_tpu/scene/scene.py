@@ -107,7 +107,8 @@ class Scene:
 
     def build_lights(self) -> LightTriangles:
         t = self.material_table()
-        return collect_emissive_triangles(self.meshes, self.instance_mesh, t["ke"])
+        return collect_emissive_triangles(
+            self.meshes, self.instance_mesh, t["ke"], self.transforms)
 
     def flatten(
         self,

@@ -1,0 +1,91 @@
+"""Stream traversal (ops/stream_trace.py): parity vs brute force.
+
+Covers the XLA trace path (default), both build methods, refit, masked
+rays, and the swizzle order round trip.  The Pallas kernel path runs in
+interpret mode on CPU and is covered by a smaller case (it is the
+deployment design; see the module docstring for the environment note).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from royaltracer_dx_tpu.ops.intersect import any_hit_brute, closest_hit_brute
+from royaltracer_dx_tpu.ops import stream_trace as st
+
+rng = np.random.default_rng(7)
+
+
+def random_soup(t):
+    c = rng.uniform(-1, 1, (t, 1, 3)).astype(np.float32)
+    e = rng.uniform(-0.08, 0.08, (t, 3, 3)).astype(np.float32)
+    return jnp.asarray(c + e)
+
+
+def random_rays(n):
+    o = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("t_count", [37, 700, 9000])
+@pytest.mark.parametrize("method", ["median", "morton"])
+def test_closest_parity(t_count, method):
+    tris = random_soup(t_count)
+    accel = st.build_stream_accel(tris, method=method)
+    o, d = random_rays(257)
+    hb = closest_hit_brute(o, d, tris)
+    hs = st.closest_hit_stream_xla(o, d, accel)
+    assert not bool(st.closest_hit_stream_xla.last_overflow)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(hs.tri), np.asarray(hb.tri))
+
+
+def test_anyhit_parity_with_masked_rays():
+    tris = random_soup(3000)
+    accel = st.build_stream_accel(tris)
+    o, d = random_rays(257)
+    t_min = jnp.full((257,), 1e-4)
+    # half the rays masked off (t_max < t_min) like dead shadow lanes
+    t_max = jnp.where(jnp.arange(257) % 2 == 0, 2.0, -1.0)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max)
+    assert np.array_equal(np.asarray(os_), np.asarray(ob))
+
+
+def test_refit_tracks_moved_geometry():
+    tris = random_soup(1500)
+    accel = st.build_stream_accel(tris)
+    moved = tris + jnp.asarray([0.3, -0.1, 0.05])
+    accel2 = st.refit_stream_accel(accel, moved)
+    o, d = random_rays(129)
+    hb = closest_hit_brute(o, d, moved)
+    hs = st.closest_hit_stream_xla(o, d, accel2)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_swizzle_roundtrip():
+    order, inverse = st.swizzle_order(32, 16, tile_w=8, tile_h=8)
+    a = np.arange(32 * 16)
+    assert np.array_equal(a[order][inverse], a)
+    # each 64-ray tile of the order is an 8x8 pixel rectangle
+    ys, xs = order[:64] // 32, order[:64] % 32
+    assert ys.max() - ys.min() == 7 and xs.max() - xs.min() == 7
+
+
+def test_pallas_kernel_parity_interpret():
+    tris = random_soup(900)
+    accel = st.build_stream_accel(tris)
+    o, d = random_rays(130)
+    hb = closest_hit_brute(o, d, tris)
+    hs = st.closest_hit_stream(o, d, accel)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    t_min = jnp.full((130,), 1e-4)
+    t_max = jnp.full((130,), 2.0)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    os_ = st.any_hit_stream(o, d, accel, t_min, t_max)
+    assert np.array_equal(np.asarray(os_), np.asarray(ob))
