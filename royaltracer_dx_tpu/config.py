@@ -62,13 +62,20 @@ class RenderConfig:
     # --- accumulation (RayGen_v6_pass3.hlsl:386) ---
     max_accum_frames: int = 2_000_000
 
+    # Megakernel subpixel AA jitter (RayGen.hlsl:81-84 jitters; the v6
+    # ReSTIR passes use pixel centers).  Turn off to use the megakernel as
+    # a pixel-aligned RMSE oracle for the ReSTIR pipeline.
+    aa_jitter: bool = True
+
     # --- acceleration structure ---
     # "brute"   = dense Moller-Trumbore sweep (oracle; fine to ~10k tris)
-    # "cluster" = tile-clustered traversal (ops/cluster_traverse.py; the
-    #             TPU-native scheme for big scenes — scene must carry
-    #             built clusters)
+    # "stream"  = two-level stream traversal (ops/stream_trace.py; the
+    #             TPU-native scheme for big scenes, device build/refit)
+    # "cluster" = tile-clustered traversal (ops/cluster_traverse.py;
+    #             round-1 scheme, superseded by "stream")
     # "bvh"     = LBVH skip-link traversal (legacy; gather-bound on TPU)
     traversal: str = "brute"
+    stream_wb: int = 48       # stream: block-worklist window width
     cluster_group: int = 128
     cluster_tile: int = 128
     # deprecated alias for traversal="bvh" (kept for older callers)

@@ -31,6 +31,10 @@ from royaltracer_dx_tpu.ops.intersect import (
     hit_attributes_p,
     interpolate_hit,
 )
+from royaltracer_dx_tpu.ops.stream_trace import (
+    any_hit_stream_xla,
+    closest_hit_stream_xla,
+)
 from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
@@ -47,6 +51,10 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                       t_min, t_max):
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel."""
     mode = cfg.accel
+    if mode == "stream":
+        return closest_hit_stream_xla(origins, dirs, scene.stream,
+                                      t_min=t_min, t_max=t_max,
+                                      wb=cfg.stream_wb, presort=True)
     if mode == "bvh":
         return closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=t_max)
     if mode == "cluster":
@@ -60,6 +68,9 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
 def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min, t_max):
     mode = cfg.accel
+    if mode == "stream":
+        return any_hit_stream_xla(origins, dirs, scene.stream, t_min, t_max,
+                                  wb=cfg.stream_wb, presort=True)
     if mode == "bvh":
         return any_hit_bvh(origins, dirs, scene.bvh, t_min, t_max)
     if mode == "cluster":

@@ -936,9 +936,34 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     return out, overflow
 
 
+def coherence_order(origins, dirs, accel: StreamAccel):
+    """Spatial presort permutation: morton codes of a point advanced along
+    each ray, so 64-ray tiles get compact frusta whatever the caller's ray
+    order (primary pixels, GI bounces, shadow batches).  Returns (order,
+    inverse) device int32 arrays."""
+    lo = jnp.min(accel.top_lo, axis=0)
+    hi = jnp.max(accel.top_hi, axis=0)
+    step = 0.25 * jnp.max(hi - lo)
+    pt = origins + dirs * step
+    key = morton_codes(pt, lo, hi)
+    order = jnp.argsort(key).astype(jnp.int32)
+    return order, jnp.argsort(order).astype(jnp.int32)
+
+
 def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                           t_min=1e-4, t_max=1e4, wb: int = 48) -> Hit:
+                           t_min=1e-4, t_max=1e4, wb: int = 48,
+                           presort: bool = False) -> Hit:
     """Closest hit via the pure-XLA stream traversal (default path)."""
+    if presort:
+        n = origins.shape[0]
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        order, inverse = coherence_order(origins, dirs, accel)
+        hit = closest_hit_stream_xla(
+            origins[order], dirs[order], accel,
+            t_min[order], t_max[order], wb, presort=False)
+        return Hit(t=hit.t[inverse], tri=hit.tri[inverse],
+                   u=hit.u[inverse], v=hit.v[inverse])
     (t, slot, u, v), overflow = _trace_stream_xla(
         origins, dirs, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
@@ -951,10 +976,20 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
 
 
 def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                       t_min, t_max, wb: int = 48) -> jax.Array:
+                       t_min, t_max, wb: int = 48,
+                       presort: bool = False) -> jax.Array:
     """Occlusion query via the pure-XLA stream traversal.
 
     "Occluded" is encoded as best_t forced to 0 during the sweep."""
+    if presort:
+        n = origins.shape[0]
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        order, inverse = coherence_order(origins, dirs, accel)
+        occ = any_hit_stream_xla(origins[order], dirs[order], accel,
+                                 t_min[order], t_max[order], wb,
+                                 presort=False)
+        return occ[inverse]
     (t, slot, u, v), overflow = _trace_stream_xla(
         origins, dirs, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),

@@ -75,6 +75,7 @@ class Renderer:
             bvh_leaf_size=cfg.bvh_leaf_size,
             build_clusters=cfg.accel == "cluster",
             cluster_group=cfg.cluster_group,
+            build_stream=cfg.accel == "stream",
         )
         self.fb = Framebuffer.create(cfg.num_pixels)
         self.frame = 0
@@ -100,7 +101,8 @@ class Renderer:
         emission = None
         rays = 0.0
         for s in range(cfg.samples_per_pixel):
-            st = frame_prologue(cam, jnp.uint32(self.frame), cfg, True, s)
+            st = frame_prologue(cam, jnp.uint32(self.frame), cfg,
+                                cfg.aa_jitter, s)
             for bounce in range(cfg.max_bounces):
                 st = megakernel.bounce_step_jit(
                     self.scene_arrays, st, jnp.uint32(bounce), cfg

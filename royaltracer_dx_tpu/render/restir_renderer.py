@@ -668,6 +668,7 @@ class RestirRenderer:
             bvh_leaf_size=cfg.bvh_leaf_size,
             build_clusters=cfg.accel == "cluster",
             cluster_group=cfg.cluster_group,
+            build_stream=cfg.accel == "stream",
         )
         n = cfg.num_pixels
         lanes = jnp.zeros((n, 3))

@@ -12,8 +12,9 @@ history (the TLAS-refit analog, Renderer.cpp:594,2091-2121).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from royaltracer_dx_tpu.scene import obj_loader
 from royaltracer_dx_tpu.scene.lights import collect_emissive_triangles
@@ -53,6 +54,7 @@ class Scene:
     ) -> int:
         """Add a mesh whose tri_material already holds GLOBAL material ids."""
         self.meshes.append(MeshData(vertices, indices, normals, tri_material))
+        self._static = None
         return len(self.meshes) - 1
 
     def add_obj(self, path: str) -> int:
@@ -68,6 +70,7 @@ class Scene:
             data["tri_material"] + offset,
         )
         self.meshes.append(mesh)
+        self._static = None
         return len(self.meshes) - 1
 
     def add_instance(self, mesh_id: int, transform: np.ndarray | None = None) -> int:
@@ -76,6 +79,7 @@ class Scene:
         self.instance_mesh.append(mesh_id)
         self.transforms.append(np.asarray(transform, np.float32))
         self.prev_transforms.append(np.asarray(transform, np.float32))
+        self._static = None
         return len(self.instance_mesh) - 1
 
     def set_transform(self, instance_id: int, transform: np.ndarray):
@@ -110,6 +114,27 @@ class Scene:
         return collect_emissive_triangles(
             self.meshes, self.instance_mesh, t["ke"], self.transforms)
 
+    def _object_static(self):
+        """Concatenated OBJECT-space triangle arrays + instance map, cached
+        on device.  This is the per-mesh BLAS-input analog: built once,
+        independent of instance transforms."""
+        if getattr(self, "_static", None) is not None:
+            return self._static
+        tv, tn, tm, ti = [], [], [], []
+        for inst, mesh_id in enumerate(self.instance_mesh):
+            mesh = self.meshes[mesh_id]
+            tv.append(mesh.vertices[mesh.indices])
+            tn.append(mesh.normals[mesh.indices])
+            tm.append(mesh.tri_material)
+            ti.append(np.full(mesh.num_triangles, inst, np.int32))
+        self._static = (
+            jnp.asarray(np.concatenate(tv), jnp.float32),
+            jnp.asarray(np.concatenate(tn), jnp.float32),
+            jnp.asarray(np.concatenate(tm)),
+            jnp.asarray(np.concatenate(ti)),
+        )
+        return self._static
+
     def flatten(
         self,
         materials: Materials | None = None,
@@ -118,36 +143,28 @@ class Scene:
         prev: SceneArrays | None = None,
         build_clusters: bool = False,
         cluster_group: int = 128,
+        build_stream: bool = False,
+        stream_method: str = "median",
     ) -> SceneArrays:
         """Bake instances into a world-space triangle soup (device arrays).
 
         This is the per-frame 'refit' analog: call again after
-        set_transform to get updated world geometry.  With build_bvh, an
-        LBVH is built over the soup; pass ``prev`` (the previous frame's
-        arrays) to REFIT its tree instead of rebuilding (same topology,
-        updated bounds — the reference's TLAS updateOnly path,
-        Renderer.cpp:594).  With build_clusters, morton-ordered triangle
-        clusters are built for the tile-clustered traversal (rebuilt, not
-        refit, on animation — the build is a host-side sort).
+        set_transform to get updated world geometry.  With ``prev`` (the
+        previous frame's arrays) the ENTIRE update runs on device with no
+        O(triangles) host work — the object-space arrays are cached and a
+        jitted transform re-bakes world space, then every built structure
+        REFITS with fixed topology (the reference's per-frame TLAS
+        updateOnly path, TopLevelASGenerator.cpp:240 / Renderer.cpp:594).
+        build_bvh / build_clusters / build_stream pick acceleration
+        structures for RenderConfig.traversal "bvh"/"cluster"/"stream".
         """
         if not self.instance_mesh:
             raise ValueError("scene has no instances")
         if materials is None:
             materials = self.build_materials()
-        tv, tn, tm, ti = [], [], [], []
-        for inst, mesh_id in enumerate(self.instance_mesh):
-            mesh = self.meshes[mesh_id]
-            m = self.transforms[inst]
-            nrm_m = np.linalg.inv(m[:3, :3]).T
-            v = mesh.vertices @ m[:3, :3].T + m[:3, 3]
-            n = mesh.normals @ nrm_m.T
-            ln = np.linalg.norm(n, axis=-1, keepdims=True)
-            n = np.where(ln > 1e-12, n / np.maximum(ln, 1e-12), 0.0)
-            tv.append(v[mesh.indices])
-            tn.append(n[mesh.indices])
-            tm.append(mesh.tri_material)
-            ti.append(np.full(mesh.num_triangles, inst, np.int32))
-        tri_verts = jnp.asarray(np.concatenate(tv), jnp.float32)
+        obj_tv, obj_tn, tm, ti = self._object_static()
+        xf = jnp.asarray(np.stack(self.transforms), jnp.float32)
+        tri_verts, tri_normals = _world_bake(obj_tv, obj_tn, ti, xf)
         bvh = None
         if prev is not None and prev.bvh is not None:
             from royaltracer_dx_tpu.ops.bvh import refit_lbvh
@@ -164,15 +181,77 @@ class Scene:
             if prev is not None and prev.clusters is not None:
                 cluster_group = prev.clusters.group
             clusters = _bc(tri_verts, group=cluster_group)
+        stream = None
+        if prev is not None and prev.stream is not None:
+            from royaltracer_dx_tpu.ops.stream_trace import refit_stream_accel
+
+            stream = refit_stream_accel(prev.stream, tri_verts)
+        elif build_stream:
+            from royaltracer_dx_tpu.ops.stream_trace import build_stream_accel
+
+            stream = build_stream_accel(tri_verts, method=stream_method)
         return SceneArrays(
             tri_verts=tri_verts,
-            tri_normals=jnp.asarray(np.concatenate(tn), jnp.float32),
-            tri_material=jnp.asarray(np.concatenate(tm)),
-            tri_instance=jnp.asarray(np.concatenate(ti)),
+            tri_normals=tri_normals,
+            tri_material=tm,
+            tri_instance=ti,
             materials=materials,
             lights=self.build_lights(),
-            object_to_world=jnp.asarray(np.stack(self.transforms), jnp.float32),
+            object_to_world=xf,
             prev_object_to_world=jnp.asarray(np.stack(self.prev_transforms), jnp.float32),
             bvh=bvh,
             clusters=clusters,
+            stream=stream,
         ).with_tri_table()
+
+
+@jax.jit
+def _world_bake(obj_tv, obj_tn, tri_instance, transforms):
+    """Object→world triangle bake, fully on device (planar component math;
+    einsum would route through the MXU and round in bf16 by default).
+
+    obj_tv/obj_tn: [T, 3, 3]; transforms [I, 4, 4].  Normal matrices are
+    inverse-transpose of the 3x3 blocks, computed with the explicit
+    adjugate (batched jnp.linalg.inv gathers badly on TPU).
+    """
+    rot = transforms[:, :3, :3]                       # [I, 3, 3]
+    trn = transforms[:, :3, 3]                        # [I, 3]
+    # adjugate / det = inverse; normal matrix = inverse^T
+    a = rot
+    c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+    c01 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+    c02 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+    c10 = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+    c11 = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+    c12 = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+    c20 = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+    c21 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+    c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    det = a[:, 0, 0] * c00 + a[:, 0, 1] * c01 + a[:, 0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    # normal matrix rows (inverse-transpose): cofactor matrix * inv_det
+    nrm = jnp.stack(
+        [jnp.stack([c00, c01, c02], axis=-1),
+         jnp.stack([c10, c11, c12], axis=-1),
+         jnp.stack([c20, c21, c22], axis=-1)], axis=1) * inv_det[:, None, None]
+
+    rot_t = rot[tri_instance]                          # [T, 3, 3]
+    trn_t = trn[tri_instance]                          # [T, 3]
+    nrm_t = nrm[tri_instance]
+
+    def xform(pts, m, add=None):
+        out = []
+        for c in range(3):
+            acc = (pts[:, :, 0] * m[:, None, c, 0]
+                   + pts[:, :, 1] * m[:, None, c, 1]
+                   + pts[:, :, 2] * m[:, None, c, 2])
+            if add is not None:
+                acc = acc + add[:, None, c]
+            out.append(acc)
+        return jnp.stack(out, axis=-1)
+
+    world_v = xform(obj_tv, rot_t, trn_t)
+    n = xform(obj_tn, nrm_t)
+    ln = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+    world_n = jnp.where(ln > 1e-12, n / jnp.maximum(ln, 1e-12), 0.0)
+    return world_v, world_n

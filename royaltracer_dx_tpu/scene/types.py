@@ -123,6 +123,7 @@ class SceneArrays:
     prev_object_to_world: jax.Array  # [I, 4, 4]
     bvh: object = None               # LBVH when built (traversal="bvh")
     clusters: object = None          # Clusters when built (traversal="cluster")
+    stream: object = None            # StreamAccel when built (traversal="stream")
     # packed per-triangle shading record: verts(9) normals(9) mid obj — the
     # hit attribute fetch is ONE row gather.  Ids ride as float VALUES
     # (exact for |id| < 2^24), NOT bitcasts: small ints bitcast to f32 are

@@ -89,3 +89,33 @@ def test_pallas_kernel_parity_interpret():
     ob = any_hit_brute(o, d, tris, t_min, t_max)
     os_ = st.any_hit_stream(o, d, accel, t_min, t_max)
     assert np.array_equal(np.asarray(os_), np.asarray(ob))
+
+
+def test_renderer_stream_matches_brute():
+    """traversal='stream' renders the exact same image as 'brute' (the
+    traversal is exact, RNG streams identical), including after an
+    animated-instance device refit."""
+    from royaltracer_dx_tpu.camera import Camera
+    from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.render.renderer import Renderer
+    from royaltracer_dx_tpu.scene.procedural import cornell_box
+
+    def run(traversal):
+        scene = cornell_box(emission=18.0)
+        cfg = RenderConfig(width=32, height=32, max_bounces=3,
+                           traversal=traversal)
+        r = Renderer(scene, Camera(eye=(0.5, 0.5, 1.72),
+                                   center=(0.5, 0.5, 0.0)), cfg)
+        r.render()
+        r.render()
+        # animate instance 0 and refit (device path for stream)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0.02, 0.0, 0.01]
+        scene.set_transform(0, m)
+        r.update()
+        r.render()
+        return np.asarray(r.radiance())
+
+    a = run("brute")
+    b = run("stream")
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
