@@ -2,19 +2,22 @@
 
 Replaces the round-1 0.3x-3x mean-energy sanity check with per-pixel
 comparisons against the oracle (include/RayGen.hlsl:80-137 semantics) at
-matched transport settings and pixel-aligned primaries (aa_jitter=False).
+matched transport settings, pixel-aligned primaries (aa_jitter=False) and
+the CORRECTED emissive-hit MIS (reference_mis_quirk=False).
 
-Calibration measured at 48x48 (this suite runs 32x32 for time):
+What the harness established (round 2, 32x32..48x48 cornell):
   * DI-only (gi_bounces=0 vs megakernel max_bounces=1): rel_mean 1.008,
     RMSE 0.014 — the RIS + temporal + spatial + MIS DI chain is unbiased.
-  * Full pipeline converges ~7-12%% BELOW full transport; the deficit is
-    localized to the GI estimator (pass1 GI + temporal GI merges) and is
-    tracked by the bounds below — tightening them is the acceptance test
-    for any GI-estimator fix.
+  * Full DI+GI vs a quirk-free mb5 oracle: rel_mean 0.983, RMSE 0.038 at
+    modest frame counts — the flagship pipeline is energy-correct.
+  * The reference's v5 emissive-hit MIS quirk (pdf_light missing 1/area,
+    include/Hit.hlsl:160-165, kept behind cfg.reference_mis_quirk)
+    OVER-counts bounce-order >= 2 direct light by ~70%% (order-2 energy
+    0.111 with the quirk vs 0.065 corrected).  RMSE oracles must disable
+    it; parity renders of the reference scene keep it.
 """
 
 import numpy as np
-import pytest
 
 from royaltracer_dx_tpu.camera import Camera
 from royaltracer_dx_tpu.config import RenderConfig
@@ -30,7 +33,7 @@ CAM = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
 def _oracle(max_bounces, frames=200):
     r = Renderer(cornell_box(emission=18.0), CAM,
                  RenderConfig(width=W, height=W, max_bounces=max_bounces,
-                              aa_jitter=False))
+                              aa_jitter=False, reference_mis_quirk=False))
     for _ in range(frames):
         r.render()
     return np.asarray(r.radiance())
@@ -55,22 +58,38 @@ def test_di_chain_unbiased_vs_oracle():
     assert rmse(b, a) < 0.05, rmse(b, a)
 
 
-def test_full_pipeline_rmse_tracked():
-    """Full DI+GI vs a matched-depth oracle.  The GI estimator currently
-    loses indirect energy (see module docstring); these bounds pin the
-    status quo so regressions OR silent fixes are both visible."""
-    a = _oracle(max_bounces=3)
-    b = _restir()
+def test_full_pipeline_energy_correct():
+    """Full DI+GI vs the quirk-free deep oracle: measured 0.983/0.038 at
+    these frame counts; bounds leave noise headroom only."""
+    a = _oracle(max_bounces=5, frames=250)
+    b = _restir(frames=120)
     r = rel_mean(b, a)
-    assert 0.85 < r < 1.05, r
-    assert rmse(b, a) < 0.2, rmse(b, a)
+    assert 0.94 < r < 1.04, (r, rmse(b, a))
+    assert rmse(b, a) < 0.08, rmse(b, a)
+
+
+def test_mis_quirk_overcounts_indirect():
+    """Pin the characterization: the reference's emissive-hit MIS quirk
+    inflates bounce-2 energy by tens of percent (it is parity behavior,
+    never an oracle setting)."""
+    a1 = _oracle(max_bounces=1, frames=120)
+    a2 = _oracle(max_bounces=2, frames=120)
+    q = Renderer(cornell_box(emission=18.0), CAM,
+                 RenderConfig(width=W, height=W, max_bounces=2,
+                              aa_jitter=False, reference_mis_quirk=True))
+    for _ in range(120):
+        q.render()
+    q2 = np.asarray(q.radiance())
+    order2 = (a2 - a1).mean()
+    order2_quirk = (q2 - a1).mean()
+    assert order2_quirk > 1.3 * order2, (order2_quirk, order2)
 
 
 def test_megakernel_self_convergence():
     """The oracle's accumulation variance shrinks with frame count."""
     r = Renderer(cornell_box(emission=18.0), CAM,
                  RenderConfig(width=W, height=W, max_bounces=2,
-                              aa_jitter=False))
+                              aa_jitter=False, reference_mis_quirk=False))
     snaps = []
     for f in range(1, 121):
         r.render()
