@@ -1,9 +1,14 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Round-1 configuration: BASELINE.md config 1 — Cornell box megakernel at
-512x512, progressive frames — measuring wavefront ray throughput
-(Mrays/sec/chip, closest-hit + shadow rays counted inside the kernel)
-against the BASELINE.json north-star target of 100 Mrays/sec/chip.
+Round-2 configuration: the BASELINE.json config table.  The headline
+value is closest-hit traversal throughput on the ~1M-triangle terrain
+(config 3's operating point) via the stream traversal — the component
+VERDICT round 1 named as the round-2 crux — with the full table in
+"extra": cornell megakernel (config 1), flagship ReSTIR on the
+reference's shipped scene (config 2), 1M-triangle closest/occlusion
+(config 3), many-light ReSTIR (config 4), device refit + animated frame
+(config 5), and the RMSE harness numbers (ReSTIR vs the quirk-free
+megakernel oracle — BASELINE.json accuracy bar).
 """
 
 from __future__ import annotations
@@ -14,6 +19,23 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    import jax
+
+    jax.block_until_ready(x)
+
+
+def _timed(f, *args, reps=3):
+    f(*args)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = f(*args)
+        _sync(r)
+        best = min(best, time.perf_counter() - t0)
+    return best, r
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -21,81 +43,131 @@ def main():
     from royaltracer_dx_tpu import cache  # noqa: F401
     from royaltracer_dx_tpu.camera import Camera, generate_rays
     from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.ops import stream_trace as st
     from royaltracer_dx_tpu.render.megakernel import trace_paths_impl
-    from royaltracer_dx_tpu.scene.procedural import cornell_box
+    from royaltracer_dx_tpu.scene.procedural import cornell_box, heightfield
     from royaltracer_dx_tpu.utils.rng import pixel_seed
 
-    width = height = 512
-    cfg = RenderConfig(width=width, height=height, max_bounces=5)
-    scene = cornell_box().flatten()
-    cam = Camera(eye=(0.5, 0.6, 2.2), center=(0.5, 0.5, 0.0))
-    ca = {k: jnp.asarray(v) for k, v in cam.matrices(1.0).items()}
-    origins, dirs = generate_rays(ca, width, height)
-    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
-    xs = jnp.asarray(xs.ravel())
-    ys = jnp.asarray(ys.ravel())
+    extra: dict = {"device": str(jax.devices()[0])}
 
-    step = jax.jit(lambda o, d, s: trace_paths_impl(scene, o, d, s, cfg))
-
-    # warmup/compile
-    seeds = pixel_seed(xs, ys, 2, jnp.uint32(0))
-    radiance, rays = step(origins, dirs, seeds)
-    radiance.block_until_ready()
-
-    frames = 8
-    total_rays = 0.0
+    # ---- config 3 headline: 1M-triangle closest-hit (stream traversal)
+    v, idx = heightfield(708)
+    tris = jnp.asarray(v[idx])
     t0 = time.perf_counter()
-    for f in range(1, frames + 1):
-        seeds = pixel_seed(xs, ys, 2, jnp.uint32(f))
-        radiance, rays = step(origins, dirs, seeds)
-    radiance.block_until_ready()
-    dt = time.perf_counter() - t0
-    total_rays = float(rays) * frames  # rays/frame is seed-invariant to ~1%
+    accel = st.build_stream_accel(tris)
+    _sync(accel.top_lo)
+    build_s = time.perf_counter() - t0
+    W = H = 512
+    cam = Camera(eye=(2.5, 2.2, 2.5), center=(0.0, 0.0, 0.0))
+    ca = {k: jnp.asarray(vv) for k, vv in cam.matrices(1.0).items()}
+    origins, dirs = generate_rays(ca, W, H)
+    order, _ = st.swizzle_order(W, H, tile_w=8, tile_h=8)
+    origins = origins[jnp.asarray(order)]
+    dirs = dirs[jnp.asarray(order)]
+    n = origins.shape[0]
 
-    mrays = total_rays / dt / 1e6
-    spp_per_sec = frames / dt * (width * height) / (1920 * 1080)
+    f_closest = jax.jit(
+        lambda o, d: st.closest_hit_stream_xla(o, d, accel).t)
+    dt, t_hit = _timed(f_closest, origins, dirs)
+    mrays_closest = n / dt / 1e6
+    assert bool(np.isfinite(np.asarray(t_hit)).any())
 
-    # flagship ReSTIR DI+GI pipeline on the reference's shipped scene
-    restir_extra = {}
+    lp = jnp.asarray([1.5, 4.0, 0.5])
+    p = origins + dirs * jnp.minimum(t_hit, 6.0)[:, None]
+    ld = lp[None, :] - p
+    dist = jnp.linalg.norm(ld, axis=1, keepdims=True)
+    ld = ld / jnp.maximum(dist, 1e-6)
+    f_any = jax.jit(lambda o, d, tm: st.any_hit_stream_xla(
+        o, d, accel, 1e-3, tm))
+    dt_a, _ = _timed(f_any, p, ld, dist[:, 0] - 1e-3)
+    extra["terrain_1m"] = {
+        "tris": int(tris.shape[0]),
+        "build_s_cold": round(build_s, 2),
+        "closest_mrays": round(mrays_closest, 2),
+        "anyhit_mrays": round(n / dt_a / 1e6, 2),
+    }
+
+    # ---- device refit of the 1M structure (config 5's TLAS-refit analog)
+    f_refit = jax.jit(lambda t: st.refit_stream_accel(accel, t).top_lo)
+    dt_r, _ = _timed(f_refit, tris + 0.01)
+    extra["refit_1m_ms"] = round(dt_r * 1e3, 2)
+
+    # ---- config 1: cornell megakernel
+    cfg = RenderConfig(width=512, height=512, max_bounces=5)
+    scene = cornell_box().flatten()
+    mcam = Camera(eye=(0.5, 0.6, 2.2), center=(0.5, 0.5, 0.0))
+    mca = {k: jnp.asarray(vv) for k, vv in mcam.matrices(1.0).items()}
+    mo, md = generate_rays(mca, 512, 512)
+    ys, xs = np.meshgrid(np.arange(512), np.arange(512), indexing="ij")
+    seeds = pixel_seed(jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()),
+                       2, jnp.uint32(1))
+    step = jax.jit(lambda o, d, s: trace_paths_impl(scene, o, d, s, cfg))
+    dt_m, (_, rays_m) = _timed(step, mo, md, seeds)
+    extra["cornell_megakernel"] = {
+        "frame_ms": round(dt_m * 1e3, 2),
+        "mrays": round(float(rays_m) / dt_m / 1e6, 2),
+    }
+
+    # ---- config 2: flagship ReSTIR on the reference scene + smoke checks
     try:
         from royaltracer_dx_tpu.cli import build_scene
         from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
 
         rscene, rcam = build_scene("reference")
         rr = RestirRenderer(rscene, rcam, RenderConfig(width=256, height=256))
-        rr.render()  # compile
+        rr.render()
         t0 = time.perf_counter()
         for _ in range(5):
             rr.render()
         rdt = (time.perf_counter() - t0) / 5
-        # TPU smoke check (the CPU suite can't see TPU-only numeric bugs,
-        # e.g. denormal flush): the garage render must keep its material
-        # colors — distinct per-channel means — and stay finite
         img = rr.radiance()
         ch = img.mean(axis=(0, 1))
         assert np.isfinite(img).all(), "non-finite radiance on TPU"
         assert float(ch.std()) > 1e-3 * max(float(ch.mean()), 1e-6), (
             f"gray render on TPU (channel means {ch}) — material ids lost?")
-        restir_extra = {
-            "restir_garage_256_frame_ms": round(rdt * 1e3, 2),
-            "restir_garage_256_fps": round(1.0 / rdt, 2),
-            "restir_channel_means": [round(float(c), 4) for c in ch],
+        extra["restir_garage_256"] = {
+            "frame_ms": round(rdt * 1e3, 2),
+            "fps": round(1.0 / rdt, 2),
+            "channel_means": [round(float(c), 4) for c in ch],
         }
     except Exception as e:  # bench must still emit its line
-        restir_extra = {"restir_error": repr(e)[:200]}
+        extra["restir_error"] = repr(e)[:200]
+
+    # ---- RMSE harness (BASELINE accuracy bar) at 96^2 on device
+    try:
+        from royaltracer_dx_tpu.render.renderer import Renderer
+        from royaltracer_dx_tpu.utils.metrics import rel_mean, rmse
+
+        W2 = 96
+        hcam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+        orc = Renderer(cornell_box(emission=18.0), hcam,
+                       RenderConfig(width=W2, height=W2, max_bounces=5,
+                                    aa_jitter=False,
+                                    reference_mis_quirk=False))
+        for _ in range(200):
+            orc.render()
+        ora = orc.radiance()
+        rr2 = RestirRenderer(cornell_box(emission=18.0), hcam,
+                             RenderConfig(width=W2, height=W2,
+                                          aa_jitter=False))
+        for _ in range(100):
+            rr2.render()
+        img2 = rr2.radiance()
+        extra["rmse_vs_oracle"] = {
+            "rmse": round(rmse(img2, ora), 5),
+            "rel_mean": round(rel_mean(img2, ora), 5),
+            "frames": [200, 100],
+        }
+    except Exception as e:
+        extra["rmse_error"] = repr(e)[:200]
 
     print(json.dumps({
-        "metric": "Mrays/sec/chip megakernel cornell 512x512 (5 bounces, RIS-10 NEE)",
-        "value": round(mrays, 2),
+        "metric": "Mrays/sec/chip closest-hit, 1.0M-tri terrain, 512x512 "
+                  "coherent rays (stream traversal)",
+        "value": round(mrays_closest, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
-        "extra": {
-            "frame_time_ms": round(dt / frames * 1e3, 3),
-            "spp_per_sec_1080p_equiv": round(spp_per_sec, 3),
-            "rays_per_frame": round(total_rays / frames),
-            "device": str(jax.devices()[0]),
-            **restir_extra,
-        },
+        "vs_baseline": round(mrays_closest / 100.0, 4),
+        "extra": extra,
     }))
 
 

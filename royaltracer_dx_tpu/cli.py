@@ -73,6 +73,9 @@ def main(argv=None):
     ap.add_argument("--snapshot-every", type=int, default=0)
     ap.add_argument("--checkpoint", default="", help="save/resume state npz")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the ReSTIR render over N devices "
+                         "(pixel-band data parallelism)")
     ap.add_argument("--animate", action="store_true",
                     help="rotate instance 1 per frame (the reference's "
                          "OnUpdate animation, Renderer.cpp:444-449)")
@@ -81,6 +84,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.cpu:
+        if args.devices > 1:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.devices}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -98,8 +107,19 @@ def main(argv=None):
         traversal=args.traversal or "brute",
     )
     scene, camera = build_scene(args.scene)
-    cls = RestirRenderer if args.renderer == "restir" else Renderer
-    r = cls(scene, camera, cfg)
+    if args.devices > 1 and args.renderer == "restir":
+        import jax
+
+        from royaltracer_dx_tpu.parallel.shard import ShardedRestirRenderer
+
+        devs = jax.devices()[: args.devices]
+        if len(devs) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices} but only {len(devs)} present")
+        r = ShardedRestirRenderer(scene, camera, cfg, devices=devs)
+    else:
+        cls = RestirRenderer if args.renderer == "restir" else Renderer
+        r = cls(scene, camera, cfg)
     if args.checkpoint and os.path.exists(args.checkpoint):
         load_renderer_state(args.checkpoint, r)
         print(f"resumed from {args.checkpoint} at frame {r.frame}")

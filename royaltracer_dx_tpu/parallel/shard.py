@@ -139,3 +139,110 @@ def replicate(mesh: Mesh, tree):
     """Device_put a pytree fully replicated."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+class ShardedRestirRenderer:
+    """Multi-chip RestirRenderer: the product-facing wrapper over
+    ``make_sharded_restir_frame`` (render/update/radiance/image/metrics
+    match RestirRenderer so callers and the CLI can switch on device
+    count).  Pixels shard by row bands; the framebuffer, reservoir and
+    sample-record state live sharded on their owning chips; scene and
+    camera replicate.
+    """
+
+    def __init__(self, scene, camera, cfg: RenderConfig, devices=None):
+        import time as _time
+
+        from royaltracer_dx_tpu.render import restir_renderer as rr
+        from royaltracer_dx_tpu.render.framebuffer import Framebuffer
+
+        self._rr = rr
+        self._time = _time
+        self.mesh = pixel_mesh(devices)
+        n_dev = self.mesh.devices.size
+        if cfg.height % n_dev:
+            raise ValueError(
+                f"height {cfg.height} not divisible by {n_dev} devices")
+        self.scene = scene
+        self.camera = camera
+        self.cfg = cfg
+        self.materials = scene.build_materials()
+        self.scene_arrays = replicate(self.mesh, scene.flatten(
+            self.materials,
+            build_bvh=cfg.accel == "bvh",
+            build_clusters=cfg.accel == "cluster",
+            build_stream=cfg.accel == "stream",
+        ))
+        self._frame_fn = make_sharded_restir_frame(self.mesh, cfg)
+
+        n = cfg.num_pixels
+        ys, xs = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width),
+                             indexing="ij")
+        self.xs, self.ys = shard_pixels(
+            self.mesh, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()))
+        packed0 = np.zeros((n, 26), np.float32)
+        packed0[:, 12] = float(
+            jnp.uint32(rr.MISS_MATERIAL_ID).astype(jnp.int32))  # mid sentinel
+        self.packed_di, self.packed_gi = shard_pixels(
+            self.mesh, jnp.asarray(packed0), jnp.asarray(packed0))
+        fb = Framebuffer.create(n)
+        self.fb = jax.tree.map(
+            lambda a: shard_pixels(self.mesh, a)[0], fb)
+        self.l1 = shard_pixels(self.mesh, jnp.zeros((n, 3)))[0]
+        self.frame = 0
+        self._prev_view = jnp.zeros((4, 4), jnp.float32)
+        self._prev_proj = jnp.zeros((4, 4), jnp.float32)
+        self.metrics: dict = {}
+
+    def _camera_arrays(self) -> dict:
+        mats = self.camera.matrices(self.cfg.width / self.cfg.height)
+        cam = {k: jnp.asarray(v) for k, v in mats.items()}
+        cam["prev_view"] = self._prev_view
+        cam["prev_proj"] = self._prev_proj
+        return cam
+
+    def update(self, camera=None):
+        if camera is not None:
+            self.camera = camera
+        self.scene_arrays = replicate(self.mesh, self.scene.flatten(
+            self.materials, prev=self.scene_arrays))
+
+    def render(self) -> None:
+        from royaltracer_dx_tpu.render.framebuffer import accumulate
+
+        cfg = self.cfg
+        cam = self._camera_arrays()
+        t0 = self._time.perf_counter()
+        sample, self.packed_di, self.packed_gi, self.l1 = self._frame_fn(
+            self.scene_arrays, cam, jnp.uint32(self.frame),
+            self.xs, self.ys, self.packed_di, self.packed_gi)
+        changed = jnp.any(jnp.abs(cam["view"] - self._prev_view) > 1e-6)
+        self.fb = accumulate(self.fb, sample, changed, cfg.max_accum_frames)
+        self.fb.accum.block_until_ready()
+        dt = self._time.perf_counter() - t0
+        self._prev_view = cam["view"]
+        self._prev_proj = cam["proj"]
+        self.frame += 1
+        k = cfg.spatial_candidate_count
+        rays_per_pixel = (3 + 1) + (1 + cfg.gi_bounces + 1) + 2 + (3 * k + 3)
+        rays = cfg.num_pixels * rays_per_pixel
+        self.metrics = dict(
+            frame_time_s=dt, fps=1.0 / max(dt, 1e-9), frame=self.frame,
+            rays_traced=rays, mrays_per_s=rays / dt / 1e6,
+            devices=int(self.mesh.devices.size),
+        )
+
+    def radiance(self):
+        avg = self.fb.accum / np.maximum(np.asarray(self.fb.count), 1.0)[:, None]
+        l1 = np.asarray(self.l1)
+        emissive = (l1 != 0).any(axis=-1)
+        out = np.where(emissive[:, None], l1, np.asarray(avg))
+        return out.reshape(self.cfg.height, self.cfg.width, 3)
+
+    def image(self, srgb: bool = True):
+        from royaltracer_dx_tpu.utils import math3d as m3
+
+        img = np.nan_to_num(self.radiance(), nan=0.0, posinf=0.0)
+        if srgb:
+            img = np.asarray(m3.srgb_gamma(jnp.clip(jnp.asarray(img), 0.0, None)))
+        return np.clip(img, 0.0, 1.0)

@@ -686,6 +686,9 @@ class RestirRenderer:
         self._prev_view = jnp.zeros((4, 4), jnp.float32)
         self._prev_proj = jnp.zeros((4, 4), jnp.float32)
         self.metrics: dict = {}
+        # opt-in per-pass timing/occupancy (each sync is a device round
+        # trip — the FPS-title analog, Renderer.cpp:482-505, but per pass)
+        self.profile = False
 
     def _camera_arrays(self) -> dict:
         mats = self.camera.matrices(self.cfg.width / self.cfg.height)
@@ -705,21 +708,43 @@ class RestirRenderer:
         cam = self._camera_arrays()
         frame = jnp.uint32(self.frame)
         t0 = time.perf_counter()
+        pass_times: dict = {}
+        occupancy: dict = {}
+
+        def tick(label, *sync):
+            """Per-pass timing + occupancy (profile mode only: every sync
+            is a ~5 ms round trip through the device tunnel)."""
+            if not self.profile:
+                return
+            for s in sync:
+                jax.block_until_ready(s)
+            now = time.perf_counter()
+            pass_times[label] = now - (t0 + sum(pass_times.values()))
 
         res_di, sdata, gi_in, seed = pass1_di(scene, cam, frame, cfg)
+        tick("pass1_di", res_di["w_sum"])
+        if self.profile:
+            occupancy["pass1_sampling"] = float(
+                jnp.mean(gi_in["sampling"].astype(jnp.float32)))
         st = pass1_gi_init(scene, gi_in, seed, cfg)
         for b in range(cfg.gi_bounces):
             st = pass1_gi_bounce(scene, cfg, st, jnp.uint32(b))
+            if self.profile:
+                occupancy[f"gi_bounce{b}_active"] = float(
+                    jnp.mean(st["active"].astype(jnp.float32)))
         res_gi, _ = pass1_gi_final(scene, gi_in, st, cfg)
+        tick("pass1_gi", res_gi["w_sum"])
 
         packed_di, packed_gi = _pack_last(self.last_di, self.last_gi, self.last_sdata)
         res_di, res_gi = pass2_temporal(
             scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi, cfg,
         )
+        tick("pass2_temporal", res_di["w_sum"])
 
         sample, shaded, out_di, out_gi = pass3_spatial(
             scene, cam, frame, res_di, res_gi, sdata, cfg
         )
+        tick("pass3_spatial", sample)
         out_di = planes_to_di(out_di)
         out_gi = planes_to_gi(out_gi)
         sdata_s = planes_to_sdata(sdata)
@@ -763,6 +788,11 @@ class RestirRenderer:
             rays_traced=rays,
             mrays_per_s=rays / dt / 1e6,
         )
+        if self.profile:
+            self.metrics["pass_times_s"] = pass_times
+            self.metrics["occupancy"] = occupancy
+            self.metrics["mray_lanes_per_s_active"] = (
+                rays * occupancy.get("pass1_sampling", 1.0) / dt / 1e6)
 
     def radiance(self) -> np.ndarray:
         """Linear image: accumulated ReSTIR shade, L1 passthrough for
