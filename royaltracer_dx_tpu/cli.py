@@ -26,7 +26,11 @@ REFERENCE_INCLUDE = "/root/reference/Pathtracer/include"
 
 def build_scene(name: str):
     from royaltracer_dx_tpu.camera import Camera
-    from royaltracer_dx_tpu.scene.procedural import cornell_box, menger_sponge
+    from royaltracer_dx_tpu.scene.procedural import (
+        cornell_box,
+        many_lights,
+        menger_sponge,
+    )
     from royaltracer_dx_tpu.scene.scene import Scene
 
     if name == "cornell":
@@ -40,6 +44,8 @@ def build_scene(name: str):
             mesh = s.add_obj(os.path.join(REFERENCE_INCLUDE, model))
             s.add_instance(mesh)
         return s, Camera(eye=(-1.5, 1.5, 3.5), center=(0.0, 1.0, 0.0))
+    if name == "many_lights":
+        return many_lights(), Camera(eye=(0.0, 1.1, 3.2), center=(0.0, 0.8, 0.0))
     if name == "menger":
         s = Scene()
         v, idx = menger_sponge(2)
@@ -104,7 +110,7 @@ def main(argv=None):
     cfg = RenderConfig(
         width=args.width, height=args.height, max_bounces=args.bounces,
         use_bvh=args.bvh,
-        traversal=args.traversal or "brute",
+        traversal=args.traversal or "auto",
     )
     scene, camera = build_scene(args.scene)
     if args.devices > 1 and args.renderer == "restir":

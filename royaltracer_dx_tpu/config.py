@@ -20,6 +20,10 @@ S_BIAS = 2.0e-5
 # Float-precision epsilon (Common_v6.hlsl:3; v5 uses 1e-4).
 EPSILON = 1.0e-6
 
+# auto traversal threshold: brute below this many triangles, stream above
+# (the stream path's fixed per-batch costs only amortize past this size)
+STREAM_AUTO_MIN_TRIS = 8000
+
 LUT_SIZE_THETA = 16
 
 # Sentinel materialID written by the miss shader (Miss_v6.hlsl:7,
@@ -68,14 +72,17 @@ class RenderConfig:
     aa_jitter: bool = True
 
     # --- acceleration structure ---
+    # "auto"    = brute below STREAM_AUTO_MIN_TRIS, stream above (the
+    #             stream path's fixed per-batch costs only amortize once
+    #             the scene outgrows a dense sweep)
     # "brute"   = dense Moller-Trumbore sweep (oracle; fine to ~10k tris)
     # "stream"  = two-level stream traversal (ops/stream_trace.py; the
     #             TPU-native scheme for big scenes, device build/refit)
     # "cluster" = tile-clustered traversal (ops/cluster_traverse.py;
     #             round-1 scheme, superseded by "stream")
     # "bvh"     = LBVH skip-link traversal (legacy; gather-bound on TPU)
-    traversal: str = "brute"
-    stream_wb: int = 48       # stream: block-worklist window width
+    traversal: str = "auto"
+    stream_wb: int = 32       # stream: block-worklist window width
     cluster_group: int = 128
     cluster_tile: int = 128
     # deprecated alias for traversal="bvh" (kept for older callers)

@@ -32,6 +32,11 @@ def save_renderer_state(path: str, renderer) -> None:
         "prev_view": np.asarray(renderer._prev_view),
     }
     state.update(_flatten("fb.", renderer.fb))
+    if hasattr(renderer, "packed_di"):  # ShardedRestirRenderer
+        state["packed_di"] = np.asarray(renderer.packed_di)
+        state["packed_gi"] = np.asarray(renderer.packed_gi)
+        state["l1"] = np.asarray(renderer.l1)
+        state["prev_proj"] = np.asarray(renderer._prev_proj)
     if hasattr(renderer, "last_di"):
         state.update(_flatten("last_di.", renderer.last_di))
         state.update(_flatten("last_gi.", renderer.last_gi))
@@ -50,6 +55,17 @@ def load_renderer_state(path: str, renderer) -> None:
     renderer.fb = renderer.fb.replace(
         accum=jnp.asarray(data["fb.accum"]), count=jnp.asarray(data["fb.count"])
     )
+    if hasattr(renderer, "packed_di") and "packed_di" in data:
+        # ShardedRestirRenderer: re-shard the restored state onto the mesh
+        from royaltracer_dx_tpu.parallel.shard import replicate, shard_pixels
+
+        renderer.packed_di, renderer.packed_gi, renderer.l1 = shard_pixels(
+            renderer.mesh, jnp.asarray(data["packed_di"]),
+            jnp.asarray(data["packed_gi"]), jnp.asarray(data["l1"]))
+        renderer.fb = renderer.fb.replace(
+            accum=shard_pixels(renderer.mesh, renderer.fb.accum)[0],
+            count=shard_pixels(renderer.mesh, renderer.fb.count)[0])
+        renderer._prev_proj = jnp.asarray(data["prev_proj"])
     if hasattr(renderer, "last_di") and "last_di.x2" in data:
         renderer.last_di = renderer.last_di.replace(
             **{f: jnp.asarray(data[f"last_di.{f}"]) for f in

@@ -47,10 +47,22 @@ _T_MAX = 1e4
 # ------------------------------ tracing ---------------------------------
 
 
+def _resolve_accel(scene: SceneArrays, cfg: RenderConfig) -> str:
+    """cfg.accel with "auto" resolved against the (static) scene size."""
+    from royaltracer_dx_tpu.config import STREAM_AUTO_MIN_TRIS
+
+    mode = cfg.accel
+    if mode == "auto":
+        if scene.stream is not None and scene.num_triangles >= STREAM_AUTO_MIN_TRIS:
+            return "stream"
+        return "brute"
+    return mode
+
+
 def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                       t_min, t_max):
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel."""
-    mode = cfg.accel
+    mode = _resolve_accel(scene, cfg)
     if mode == "stream":
         return closest_hit_stream_xla(origins, dirs, scene.stream,
                                       t_min=t_min, t_max=t_max,
@@ -67,7 +79,7 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
 
 def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min, t_max):
-    mode = cfg.accel
+    mode = _resolve_accel(scene, cfg)
     if mode == "stream":
         return any_hit_stream_xla(origins, dirs, scene.stream, t_min, t_max,
                                   wb=cfg.stream_wb, presort=True)

@@ -951,7 +951,7 @@ def coherence_order(origins, dirs, accel: StreamAccel):
 
 
 def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                           t_min=1e-4, t_max=1e4, wb: int = 48,
+                           t_min=1e-4, t_max=1e4, wb: int = 32,
                            presort: bool = False) -> Hit:
     """Closest hit via the pure-XLA stream traversal (default path)."""
     if presort:
@@ -976,7 +976,7 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
 
 
 def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                       t_min, t_max, wb: int = 48,
+                       t_min, t_max, wb: int = 32,
                        presort: bool = False) -> jax.Array:
     """Occlusion query via the pure-XLA stream traversal.
 

@@ -171,7 +171,7 @@ class ShardedRestirRenderer:
             self.materials,
             build_bvh=cfg.accel == "bvh",
             build_clusters=cfg.accel == "cluster",
-            build_stream=cfg.accel == "stream",
+            build_stream=_wants_stream(scene, cfg),
         ))
         self._frame_fn = make_sharded_restir_frame(self.mesh, cfg)
 
@@ -246,3 +246,12 @@ class ShardedRestirRenderer:
         if srgb:
             img = np.asarray(m3.srgb_gamma(jnp.clip(jnp.asarray(img), 0.0, None)))
         return np.clip(img, 0.0, 1.0)
+
+
+def _wants_stream(scene, cfg) -> bool:
+    """Build the stream accel for traversal="stream" or a big-scene auto."""
+    from royaltracer_dx_tpu.config import STREAM_AUTO_MIN_TRIS
+
+    if cfg.accel == "stream":
+        return True
+    return cfg.accel == "auto" and scene.num_triangles >= STREAM_AUTO_MIN_TRIS

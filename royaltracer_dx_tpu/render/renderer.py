@@ -75,7 +75,7 @@ class Renderer:
             bvh_leaf_size=cfg.bvh_leaf_size,
             build_clusters=cfg.accel == "cluster",
             cluster_group=cfg.cluster_group,
-            build_stream=cfg.accel == "stream",
+            build_stream=_wants_stream(scene, cfg),
         )
         self.fb = Framebuffer.create(cfg.num_pixels)
         self.frame = 0
@@ -131,3 +131,12 @@ class Renderer:
         """Linear accumulated radiance [H, W, 3] (for RMSE tests)."""
         out = self.fb.accum / np.maximum(np.asarray(self.fb.count), 1.0)[:, None]
         return np.asarray(out).reshape(self.cfg.height, self.cfg.width, 3)
+
+
+def _wants_stream(scene, cfg) -> bool:
+    """Build the stream accel for traversal="stream" or a big-scene auto."""
+    from royaltracer_dx_tpu.config import STREAM_AUTO_MIN_TRIS
+
+    if cfg.accel == "stream":
+        return True
+    return cfg.accel == "auto" and scene.num_triangles >= STREAM_AUTO_MIN_TRIS

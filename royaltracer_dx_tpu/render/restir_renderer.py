@@ -668,7 +668,7 @@ class RestirRenderer:
             bvh_leaf_size=cfg.bvh_leaf_size,
             build_clusters=cfg.accel == "cluster",
             cluster_group=cfg.cluster_group,
-            build_stream=cfg.accel == "stream",
+            build_stream=_wants_stream(scene, cfg),
         )
         n = cfg.num_pixels
         lanes = jnp.zeros((n, 3))
@@ -809,3 +809,12 @@ class RestirRenderer:
         if srgb:
             img = np.asarray(m3.srgb_gamma(jnp.clip(jnp.asarray(img), 0.0, None)))
         return np.clip(img, 0.0, 1.0)
+
+
+def _wants_stream(scene, cfg) -> bool:
+    """Build the stream accel for traversal="stream" or a big-scene auto."""
+    from royaltracer_dx_tpu.config import STREAM_AUTO_MIN_TRIS
+
+    if cfg.accel == "stream":
+        return True
+    return cfg.accel == "auto" and scene.num_triangles >= STREAM_AUTO_MIN_TRIS

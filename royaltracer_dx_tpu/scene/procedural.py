@@ -203,3 +203,78 @@ def displaced_sphere(subdiv: int = 512, seed: int = 0):
         [np.stack([v00, v10, v01], axis=-1),
          np.stack([v01, v10, v11], axis=-1)], axis=0).astype(np.int32)
     return verts, tris
+
+
+def many_lights(n_lights: int = 64, n_boxes: int = 48, seed: int = 1,
+                emission: float = 40.0) -> Scene:
+    """Sponza-class MANY-LIGHT workload (BASELINE config 4), procedural.
+
+    A dark hall: floor + back wall, a grid of n_lights small emissive
+    ceiling panels with randomized colors/intensities (stresses the
+    light-CDF + RIS candidate machinery the way Sponza's many lamps
+    would), and random diffuse/metallic boxes casting shadows.
+    Camera: eye=(0, 1.1, 3.2) center=(0, 0.8, 0).
+    """
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    gray = s.add_material(kd=(0.55, 0.55, 0.55, 1.0), ks=(0, 0, 0),
+                          pr_pm_ps_pc=(1, 0, 0, 0))
+
+    verts, tris, mats = [], [], []
+
+    def add_quad(quad, mid):
+        base = len(verts)
+        verts.extend(quad)
+        t1, t2 = _quad(base, base + 1, base + 2, base + 3)
+        tris.extend([t1, t2])
+        mats.extend([mid, mid])
+
+    # floor [-2,2]^2 at y=0, back wall at z=-2, ceiling at y=2
+    add_quad([(-2, 0, 2), (2, 0, 2), (2, 0, -2), (-2, 0, -2)], gray)
+    add_quad([(-2, 0, -2), (2, 0, -2), (2, 2, -2), (-2, 2, -2)], gray)
+    add_quad([(-2, 2, -2), (2, 2, -2), (2, 2, 2), (-2, 2, 2)], gray)
+
+    # grid of emissive panels just below the ceiling
+    g = int(np.ceil(np.sqrt(n_lights)))
+    k = 0
+    for i in range(g):
+        for j in range(g):
+            if k >= n_lights:
+                break
+            k += 1
+            color = rng.uniform(0.3, 1.0, 3)
+            inten = emission * rng.uniform(0.3, 1.5)
+            mid = s.add_material(kd=(0, 0, 0, 1.0), ks=(0, 0, 0),
+                                 ke=tuple(color * inten),
+                                 pr_pm_ps_pc=(1, 0, 0, 0))
+            cx = -1.8 + 3.6 * (i + 0.5) / g
+            cz = -1.8 + 3.6 * (j + 0.5) / g
+            r = 0.45 / g * 3.6 * 0.5
+            add_quad([(cx - r, 1.98, cz + r), (cx + r, 1.98, cz + r),
+                      (cx + r, 1.98, cz - r), (cx - r, 1.98, cz - r)], mid)
+
+    # random boxes on the floor (half diffuse, half metallic)
+    for b in range(n_boxes):
+        w, h, d = rng.uniform(0.08, 0.35, 3)
+        cx, cz = rng.uniform(-1.7, 1.7, 2)
+        metal = float(b % 2)
+        rough = float(rng.uniform(0.1, 0.9))
+        kd = tuple(rng.uniform(0.2, 0.9, 3)) + (1.0,)
+        mid = s.add_material(kd=kd, ks=(0.9, 0.9, 0.9) if metal else (0, 0, 0),
+                             pr_pm_ps_pc=(rough, metal, 0, 0))
+        x0, x1 = cx - w, cx + w
+        z0, z1 = cz - d, cz + d
+        add_quad([(x0, 0, z1), (x1, 0, z1), (x1, h, z1), (x0, h, z1)], mid)
+        add_quad([(x1, 0, z0), (x0, 0, z0), (x0, h, z0), (x1, h, z0)], mid)
+        add_quad([(x0, 0, z0), (x0, 0, z1), (x0, h, z1), (x0, h, z0)], mid)
+        add_quad([(x1, 0, z1), (x1, 0, z0), (x1, h, z0), (x1, h, z1)], mid)
+        add_quad([(x0, h, z1), (x1, h, z1), (x1, h, z0), (x0, h, z0)], mid)
+
+    mesh = s.add_mesh(
+        np.asarray(verts, np.float32),
+        np.asarray(tris, np.int32),
+        normals=None,
+        tri_material=np.asarray(mats, np.int32),
+    )
+    s.add_instance(mesh)
+    return s

@@ -90,6 +90,10 @@ class Scene:
 
     # ---------------- finalize ----------------
 
+    @property
+    def num_triangles(self) -> int:
+        return sum(self.meshes[m].num_triangles for m in self.instance_mesh)
+
     def material_table(self) -> dict[str, np.ndarray]:
         mats = self._materials or [dict(obj_loader.DEFAULT_MATERIAL)]
         return dict(

@@ -136,3 +136,34 @@ def test_sharded_restir_renderer_product_path():
         interior[band * band_h + margin:(band + 1) * band_h - margin] = True
     assert interior.sum() >= 6
     np.testing.assert_allclose(b[interior], a[interior], rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_renderer_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from royaltracer_dx_tpu.camera import Camera
+    from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.io.checkpoint import (
+        load_renderer_state,
+        save_renderer_state,
+    )
+    from royaltracer_dx_tpu.parallel.shard import ShardedRestirRenderer
+    from royaltracer_dx_tpu.scene.procedural import cornell_box
+
+    cam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, gi_bounces=1,
+                       nee_samples=2, nee_samples_di=2)
+    devs = jax.devices()[:2]
+    a = ShardedRestirRenderer(cornell_box(emission=18.0), cam, cfg, devices=devs)
+    a.render()
+    a.render()
+    path = str(tmp_path / "shard.npz")
+    save_renderer_state(path, a)
+    a.render()
+
+    b = ShardedRestirRenderer(cornell_box(emission=18.0), cam, cfg, devices=devs)
+    load_renderer_state(path, b)
+    assert b.frame == 2
+    b.render()
+    np.testing.assert_allclose(np.asarray(b.fb.accum), np.asarray(a.fb.accum),
+                               rtol=1e-5, atol=1e-6)
