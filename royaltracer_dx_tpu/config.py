@@ -83,6 +83,10 @@ class RenderConfig:
     # "bvh"     = LBVH skip-link traversal (legacy; gather-bound on TPU)
     traversal: str = "auto"
     stream_wb: int = 32       # stream: block-worklist window width
+    # GI wavefront compaction (SURVEY §7 Stage 3): "auto" = on for
+    # stream-accelerated (big) scenes where a bounce costs enough to pay
+    # the partition; "on"/"off" force it.  Bit-identical results.
+    gi_compaction: str = "auto"
     cluster_group: int = 128
     cluster_tile: int = 128
     # deprecated alias for traversal="bvh" (kept for older callers)

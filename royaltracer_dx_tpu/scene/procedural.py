@@ -167,9 +167,11 @@ def heightfield(res: int = 708, extent: float = 2.0, seed: int = 0):
     v01 = v00 + 1
     v10 = v00 + res
     v11 = v10 + 1
+    # winding chosen so geometric normals point +y (v6 shading does not
+    # flip normals toward the ray; downward-facing terrain renders black)
     tris = np.concatenate(
-        [np.stack([v00, v10, v01], axis=-1),
-         np.stack([v01, v10, v11], axis=-1)], axis=0).astype(np.int32)
+        [np.stack([v00, v01, v10], axis=-1),
+         np.stack([v01, v11, v10], axis=-1)], axis=0).astype(np.int32)
     return verts, tris
 
 
