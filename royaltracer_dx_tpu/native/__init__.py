@@ -1,0 +1,108 @@
+"""Native host-runtime components (C, ctypes-bound).
+
+The reference's host runtime is C++ (tiny_obj_loader + the nv_helpers
+generators); the pieces with real TPU-side counterparts are jit kernels,
+but the ASSET PIPELINE stays host code — so, like the reference, it is
+native here.  The extension compiles on demand with the system compiler
+into a cache next to the package (no pip, no pybind11 — plain ctypes) and
+every caller keeps a pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+_LIB = None
+_TRIED = False
+
+
+class _ObjResult(ctypes.Structure):
+    _fields_ = [
+        ("verts", ctypes.POINTER(ctypes.c_float)),
+        ("n_verts", ctypes.c_int64),
+        ("indices", ctypes.POINTER(ctypes.c_int32)),
+        ("tri_slot", ctypes.POINTER(ctypes.c_int32)),
+        ("n_tris", ctypes.c_int64),
+        ("stmts", ctypes.POINTER(ctypes.c_char)),
+        ("stmts_len", ctypes.c_int64),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _build() -> str | None:
+    src = os.path.join(os.path.dirname(__file__), "objparse.c")
+    out_dir = os.path.join(os.path.dirname(__file__), "_build")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "objparse.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            tmp = out + ".tmp"
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, out)
+            return out
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        path = _build()
+        if path is not None:
+            try:
+                lib = ctypes.CDLL(path)
+                lib.obj_parse.restype = ctypes.POINTER(_ObjResult)
+                lib.obj_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+                lib.obj_free.restype = None
+                lib.obj_free.argtypes = [ctypes.POINTER(_ObjResult)]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+    return _LIB
+
+
+def parse_obj_geometry(path: str):
+    """Parse OBJ geometry natively.
+
+    Returns (verts [V,6] pos|normal float32, indices [T,3] int32,
+    tri_slot [T] int32 usemtl-ordinal per triangle, stmt_lines list[str]
+    of mtllib/usemtl statements in file order) or None when the native
+    extension is unavailable (callers fall back to Python).
+    """
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as fh:
+        data = fh.read()
+    res = lib.obj_parse(data, len(data))
+    if not res:
+        return None
+    try:
+        r = res.contents
+        if r.error != 0:
+            return None
+        nv, nt = int(r.n_verts), int(r.n_tris)
+        verts = np.ctypeslib.as_array(r.verts, shape=(nv, 6)).copy() \
+            if nv else np.zeros((0, 6), np.float32)
+        indices = np.ctypeslib.as_array(r.indices, shape=(nt, 3)).copy() \
+            if nt else np.zeros((0, 3), np.int32)
+        tri_slot = np.ctypeslib.as_array(r.tri_slot, shape=(nt,)).copy() \
+            if nt else np.zeros((0,), np.int32)
+        stmts = ctypes.string_at(r.stmts, r.stmts_len).decode(
+            "utf-8", errors="replace")
+        lines = [ln for ln in stmts.split("\n") if ln.strip()]
+        return verts, indices, tri_slot, lines
+    finally:
+        lib.obj_free(res)

@@ -79,14 +79,61 @@ def parse_mtl(path: str) -> tuple[list[str], list[dict]]:
     return names, mats
 
 
-def load_obj(path: str):
+def _load_obj_native(path: str):
+    """Native-parser path (royaltracer_dx_tpu.native, the tiny_obj_loader
+    counterpart).  Geometry parses in C; mtllib/usemtl statements replay
+    here so material-id assignment is byte-identical to the Python path.
+    Returns the load_obj dict or None if the extension is unavailable."""
+    from royaltracer_dx_tpu import native
+
+    parsed = native.parse_obj_geometry(path)
+    if parsed is None:
+        return None
+    verts6, indices, tri_slot, stmt_lines = parsed
+
+    base = os.path.dirname(os.path.abspath(path))
+    mtl_names: list[str] = []
+    materials: list[dict] = [dict(DEFAULT_MATERIAL)]
+    slot_to_mat = [0]  # slot 0 = before any usemtl
+    for line in stmt_lines:
+        tok = line.split()
+        if not tok:
+            continue
+        if tok[0] == "mtllib" and len(tok) > 1:
+            mtl_path = os.path.join(base, tok[1])
+            if os.path.exists(mtl_path):
+                names, mats = parse_mtl(mtl_path)
+                mtl_names.extend(names)
+                materials.extend(mats)
+        elif tok[0] == "usemtl":
+            name = tok[1] if len(tok) > 1 else ""
+            slot_to_mat.append(
+                (mtl_names.index(name) + 1) if name in mtl_names else 0)
+    tri_material = np.asarray(slot_to_mat, np.int32)[tri_slot]
+    return dict(
+        vertices=np.ascontiguousarray(verts6[:, :3]),
+        normals=np.ascontiguousarray(verts6[:, 3:]),
+        indices=indices,
+        tri_material=tri_material,
+        materials=materials,
+    )
+
+
+def load_obj(path: str, use_native: bool = True):
     """Load an OBJ file.
 
     Returns dict with:
       vertices [V,3], normals [V,3] (zeros where absent), indices [T,3],
       tri_material [T] (LOCAL ids: 0 = default material, 1..K = mtl order),
       materials: list of K+1 dicts (default first).
+
+    use_native: try the C parser first (same results, ~40x faster on
+    Sponza-class assets); the pure-Python path is the fallback/spec.
     """
+    if use_native:
+        out = _load_obj_native(path)
+        if out is not None:
+            return out
     positions: list[tuple] = []
     obj_normals: list[tuple] = []
     mtl_names: list[str] = []
