@@ -133,6 +133,56 @@ def main():
     except Exception as e:  # bench must still emit its line
         extra["restir_error"] = repr(e)[:200]
 
+    # ---- config 4: many-light ReSTIR (Sponza-class light count)
+    try:
+        from royaltracer_dx_tpu.scene.procedural import many_lights
+
+        mscene, mcam2 = None, Camera(eye=(0.0, 1.1, 3.2), center=(0.0, 0.8, 0.0))
+        mscene = many_lights()
+        # width/height/aa_jitter match the RMSE section's ReSTIR config so
+        # all three 96^2 ReSTIR sections share one compiled pipeline
+        mrr = RestirRenderer(mscene, mcam2,
+                             RenderConfig(width=96, height=96,
+                                          aa_jitter=False))
+        mrr.render()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            mrr.render()
+        mdt = (time.perf_counter() - t0) / 3
+        mimg = mrr.radiance()
+        assert np.isfinite(mimg).all()
+        extra["many_lights_96"] = {
+            "lights": int(mrr.scene_arrays.lights.count),
+            "frame_ms": round(mdt * 1e3, 2),
+        }
+    except Exception as e:
+        extra["many_lights_error"] = repr(e)[:200]
+
+    # ---- config 5: dynamic scene — animated instance + device refit + frame
+    try:
+        import numpy as _np
+
+        ascene, acam = build_scene("reference")
+        arr = RestirRenderer(ascene, acam,
+                             RenderConfig(width=96, height=96,
+                                          aa_jitter=False))
+        arr.render()
+        t0 = time.perf_counter()
+        for i in range(3):
+            ang = 0.3 * (i + 1)
+            c, s = float(np.cos(ang)), float(np.sin(ang))
+            m = _np.asarray([[c, 0, s, 0], [0, 1, 0, 0],
+                             [-s, 0, c, 0], [0, 0, 0, 1]], _np.float32)
+            ascene.set_transform(1, m)
+            arr.update()
+            arr.render()
+        adt = (time.perf_counter() - t0) / 3
+        aimg = arr.radiance()
+        assert np.isfinite(aimg).all()
+        extra["dynamic_refit_frame_96_ms"] = round(adt * 1e3, 2)
+    except Exception as e:
+        extra["dynamic_error"] = repr(e)[:200]
+
     # ---- RMSE harness (BASELINE accuracy bar) at 96^2 on device
     try:
         from royaltracer_dx_tpu.render.renderer import Renderer

@@ -85,6 +85,10 @@ def main(argv=None):
     ap.add_argument("--animate", action="store_true",
                     help="rotate instance 1 per frame (the reference's "
                          "OnUpdate animation, Renderer.cpp:444-449)")
+    ap.add_argument("--aov", default="", metavar="CHANNEL",
+                    help="also write AOV debug channels (the reference's "
+                         "'C'-key 30-layer cycling, Renderer.cpp:690-698): "
+                         "a channel name or 'all'")
     ap.add_argument("--profile", default="",
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args(argv)
@@ -164,6 +168,24 @@ def main(argv=None):
         print(f"checkpoint -> {args.checkpoint}")
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.1f}s -> {args.out}")
+
+    if args.aov:
+        import numpy as np
+
+        from royaltracer_dx_tpu.render.aov import CHANNELS, render_aovs
+
+        cam_arrays = r._camera_arrays()
+        aovs = render_aovs(r.scene_arrays, cam_arrays, cfg)
+        wanted = CHANNELS if args.aov == "all" else (args.aov,)
+        base, ext = os.path.splitext(args.out)
+        for ch in wanted:
+            img = np.asarray(aovs[ch]).reshape(cfg.height, cfg.width, -1)
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            lo, hi = float(img.min()), float(img.max())
+            img = (img - lo) / max(hi - lo, 1e-9)
+            write_png(f"{base}.{ch}{ext}", img[..., :3])
+            print(f"aov {ch} -> {base}.{ch}{ext}")
 
 
 if __name__ == "__main__":
