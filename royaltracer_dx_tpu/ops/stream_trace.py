@@ -541,8 +541,8 @@ def _run_kernel(wl, went, cnt, rows, accel, occlusion: bool, wb: int):
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RAYS_PER_CHUNK, 16), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((RAYS_PER_CHUNK, 8), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
