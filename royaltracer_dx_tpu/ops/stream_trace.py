@@ -158,6 +158,78 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     )
 
 
+def _median_perm_device(centroid: jax.Array, tri_id: jax.Array):
+    """Equal-split recursive median ordering, fully on device.
+
+    The BLAS quality-build analog (BottomLevelASGenerator.cpp:235) without
+    the host recursion: ``centroid`` is padded to a power-of-two length P
+    (padding = +INF), and each level sorts every segment by its widest
+    centroid axis with ONE flat stable two-key lax.sort (segment id, then
+    normalized axis value).  Segment ids come from an iota (elements stay
+    contiguous per segment), per-segment extents from equal-length
+    reshapes — no scatters, no per-lane gathers, ~log2(P/G) sorts total.
+    Padding sorts to each segment's tail (key +INF) and stays degenerate.
+
+    Returns tri ids in median order ([P] int32, pad slots hold -1).
+    """
+    p = centroid.shape[0]
+    levels = max(0, (p // G).bit_length() - 1)
+    cx, cy, cz = centroid[:, 0], centroid[:, 1], centroid[:, 2]
+    tid = tri_id
+    for lvl in range(levels):
+        nseg = 1 << lvl
+        seglen = p >> lvl
+        segid = jax.lax.iota(jnp.int32, p) >> (seglen.bit_length() - 1)
+
+        def ext(c):
+            cc = c.reshape(nseg, seglen)
+            fin = cc < _BIG
+            lo = jnp.min(jnp.where(fin, cc, _BIG), axis=1)
+            hi = jnp.max(jnp.where(fin, cc, -_BIG), axis=1)
+            return lo, hi
+
+        xlo, xhi = ext(cx)
+        ylo, yhi = ext(cy)
+        zlo, zhi = ext(cz)
+        ex, ey, ez = xhi - xlo, yhi - ylo, zhi - zlo
+
+        def expand(a):  # [nseg] -> [P] without gathers
+            return jnp.broadcast_to(a[:, None], (nseg, seglen)).reshape(p)
+
+        use_y = (ey >= ex) & (ey >= ez)
+        use_z = (ez > ex) & (ez > ey) & ~use_y
+        val = jnp.where(expand(use_y), cy, jnp.where(expand(use_z), cz, cx))
+        lo_e = jnp.where(expand(use_y), expand(ylo),
+                         jnp.where(expand(use_z), expand(zlo), expand(xlo)))
+        hi_e = jnp.where(expand(use_y), expand(yhi),
+                         jnp.where(expand(use_z), expand(zhi), expand(xhi)))
+        frac = (val - lo_e) / jnp.maximum(hi_e - lo_e, 1e-30)
+        frac = jnp.where(val < _BIG, frac, INF)
+        _, _, cx, cy, cz, tid = jax.lax.sort(
+            (segid, frac, cx, cy, cz, tid), dimension=0, num_keys=2,
+            is_stable=True)
+    return tid
+
+
+@functools.partial(jax.jit, static_argnames=("num_tris",))
+def _build_device_median(tri_padded: jax.Array, num_tris: int):
+    """Device quality build: median ordering + flat-row layout.
+
+    tri_padded is [P, 3, 3] with P a power of two >= max(num_tris, S*G);
+    ~log2(P/64) flat sorts + one triangle gather (same cost class as the
+    per-frame refit).  Replaces the 10-minute host recursion at 1M tris.
+    """
+    p = tri_padded.shape[0]
+    centroid = tri_padded.mean(axis=1)
+    real = jnp.arange(p) < num_tris
+    centroid = jnp.where(real[:, None], centroid, INF)
+    tid = jnp.where(real, jax.lax.iota(jnp.int32, p), -1)
+    order = _median_perm_device(centroid, tid)
+    sorted_tris = jnp.where(
+        (order >= 0)[:, None, None], tri_padded[jnp.maximum(order, 0)], 0.0)
+    return _layout_device(sorted_tris, order, p // (S * G))
+
+
 def _median_split_perm(centroids, gran_leaf: int, gran_block: int):
     """Equal-count recursive median split along the widest centroid axis.
 
@@ -198,14 +270,21 @@ def _median_split_perm(centroids, gran_leaf: int, gran_block: int):
 def build_stream_accel(tri_verts: jax.Array, method: str = "median") -> StreamAccel:
     """Build over [T, 3, 3] world-space triangles (BLAS-build analog).
 
-    method='median': host equal-count median-split ordering (tight block
-    and cluster AABBs — the quality build, like a driver BLAS build).
-    method='morton': fully on-device morton ordering (for on-device
-    dynamic rebuilds).  Refit (refit_stream_accel) is device-only either
-    way.
+    method='median' (default): DEVICE equal-split median ordering — the
+    quality build, ~log2(T/64) flat sorts, sub-second at 1M tris (the
+    round-2 host recursion took minutes; kept as 'median_host' for
+    comparison).  method='morton': on-device morton ordering (cheapest).
+    Refit (refit_stream_accel) is device-only for every method.
     """
     t = tri_verts.shape[0]
     blk = S * G
+    if method == "median":
+        p = max(blk, 1 << (t - 1).bit_length())
+        pad = p - t
+        if pad:
+            tri_verts = jnp.concatenate(
+                [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0)
+        return _build_device_median(tri_verts, t)
     b = max(1, -(-t // blk))
     pad = b * blk - t
     if pad:
@@ -672,13 +751,19 @@ def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel):
     return sbid, skey, bcnt, (o_lo, o_hi, d_lo, d_hi, t_lo, t_hi)
 
 
-def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int):
+def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int,
+                    rays=None):
     """Cluster worklist for blocks ranked [w0, w0+wb) per tile.
 
     One one-hot matmul fetches the outward-rounded bf16 cluster boxes of
-    the window's blocks; an interval slab tests their S clusters; a lane
-    sort orders candidates near-to-far.  Returns (ccid [tiles, wb*S],
-    centry [tiles, wb*S] f32 (INF pad), ccnt [tiles])."""
+    the window's blocks; an interval slab tests their S clusters; with
+    ``rays`` (round 3) every surviving cluster is additionally slab-tested
+    per RAY — the tile-interval test is very conservative, and the exact
+    per-ray cull cuts candidates ~2-4x for ~0.5 ms (measured) — and the
+    per-tile entry becomes the min entry over passing rays (tighter
+    near-to-far ordering).  A lane sort orders candidates near-to-far.
+    Returns (ccid [tiles, wb*S], centry [tiles, wb*S] f32 (INF pad),
+    ccnt [tiles])."""
     o_lo, o_hi, d_lo, d_hi, t_lo, t_hi = tb
     tiles, bp = sbid.shape
     b = accel.num_blocks
@@ -701,13 +786,50 @@ def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int):
     cok, centry = _interval_slab_batched(
         o_lo, o_hi, d_lo, d_hi, cl_lo, cl_hi, t_lo, t_hi)
     cok = cok & wok[:, :, None]
-    ckey = jnp.where(cok, centry, INF).reshape(tiles, wbw * S)
+    cok = cok.reshape(tiles, wbw * S)
+    centry = centry.reshape(tiles, wbw * S)
+    if rays is not None:
+        rpass, rentry = _per_ray_box_cull(
+            rays, boxes.reshape(tiles, wbw, 6, S))
+        cok = cok & rpass
+        centry = jnp.maximum(centry, rentry)
+    ckey = jnp.where(cok, centry, INF)
     cid = (wl[:, :, None] * S
            + jnp.arange(S, dtype=jnp.int32)[None, None, :]
            ).reshape(tiles, wbw * S)
     centry_s, ccid = jax.lax.sort((ckey, cid), dimension=1, num_keys=1)
-    ccnt = jnp.sum(cok.reshape(tiles, wbw * S).astype(jnp.int32), axis=1)
+    ccnt = jnp.sum(cok.astype(jnp.int32), axis=1)
     return ccid, centry_s, ccnt
+
+
+def _per_ray_box_cull(rays, boxes):
+    """Exact per-ray slab vs the window's cluster boxes, reduced per tile.
+
+    rays = (o, d, t_min, t_max) in tile layout (3 x [tiles, R, 1], ...);
+    boxes [tiles, wbw, 6, S] (lo.xyz|hi.xyz groups, conservative bf16
+    rounding upstream).  Returns (pass [tiles, wbw*S] — True iff ANY live
+    ray's slab interval is non-empty — and entry [tiles, wbw*S] — min slab
+    entry over passing rays, INF where none).  Everything fuses into the
+    two reductions; no [tiles, R, W] array is kept live.
+    """
+    o, d, t_min_t, t_max_t = rays
+    tiles, wbw, _, s_ = boxes.shape
+    w = wbw * s_
+    live = t_max_t > t_min_t                              # [tiles, R, 1]
+    tn = jnp.broadcast_to(t_min_t, t_min_t.shape[:2] + (w,))
+    tf = jnp.broadcast_to(t_max_t, t_max_t.shape[:2] + (w,))
+    for c in range(3):
+        lo_c = boxes[:, :, c, :].reshape(tiles, 1, w)
+        hi_c = boxes[:, :, 3 + c, :].reshape(tiles, 1, w)
+        inv = _safe_inv(d[c])
+        t0 = (lo_c - o[c]) * inv
+        t1 = (hi_c - o[c]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & live
+    rpass = jnp.any(ok, axis=1)                           # [tiles, W]
+    entry = jnp.min(jnp.where(ok, jnp.maximum(tn, 0.0), INF), axis=1)
+    return rpass, entry
 
 
 def _interval_slab_batched(o_lo, o_hi, d_lo, d_hi, lo, hi, t_lo, t_hi):
@@ -750,6 +872,18 @@ def _mt_rows(o, d, rows, t_min, t_max):
     o/d: 3 planes of [tiles, R, 1]; t_min/t_max [tiles, R, 1].
     Returns (t, u, v) [tiles, R, G]."""
     p = [rows[:, k * G:(k + 1) * G][:, None, :] for k in range(9)]
+    return _mt_planes(o, d, p, t_min, t_max)
+
+
+def _mt_rows_multi(o, d, rows_list, t_min, t_max):
+    """_mt_rows over ``len(rows_list)`` clusters at once: lane dim becomes
+    pair*G (=128 at pair=2 — a full VPU row instead of half)."""
+    p = [jnp.concatenate([r[:, k * G:(k + 1) * G] for r in rows_list],
+                         axis=1)[:, None, :] for k in range(9)]
+    return _mt_planes(o, d, p, t_min, t_max)
+
+
+def _mt_planes(o, d, p, t_min, t_max):
     v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = p
     ox, oy, oz = o
     dx, dy, dz = d
@@ -775,12 +909,15 @@ def _mt_rows(o, d, rows, t_min, t_max):
     return jnp.where(ok, t, INF), u, v
 
 
-def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
+def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
+           pair: int = 2):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
-    per round every live tile gathers ONE cluster row and runs dense
-    [TILE x G] MT with per-ray best-t culling.  ``rays`` = (o, d, t_min_t,
-    t_max_t) in [tiles, TILE(, 1)] layout; ``best`` = (t, slot, u, v)."""
+    per round every live tile gathers ``pair`` cluster rows and runs dense
+    [TILE x pair*G] MT with per-ray best-t culling.  pair=2 fills the full
+    128-lane VPU row (G=64 alone wastes half the lanes) and halves the
+    serial round count.  ``rays`` = (o, d, t_min_t, t_max_t) in
+    [tiles, TILE(, 1)] layout; ``best`` = (t, slot, u, v)."""
     o, d, t_min_t, t_max_t = rays
     tiles = ccnt.shape[0]
     perm = jnp.argsort(-ccnt)
@@ -793,7 +930,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
     t_min_t = t_min_t[perm]
     t_max_t = t_max_t[perm]
     best = tuple(b[perm] for b in best)
-    lane = jax.lax.iota(jnp.int32, G)[None, None, :]
+    lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
     wcl = ccid.shape[1]
 
     def pending(k, best_t, lo, hi):
@@ -823,25 +960,38 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         def body(st, size=size, wl_s=wl_s, o_s=o_s, d_s=d_s,
                  tmin_s=tmin_s, tmax_s=tmax_s):
             kk, best_t, best_tri, best_u, best_v = st
-            cid = jax.lax.dynamic_slice_in_dim(wl_s, kk, 1, axis=1)[:, 0]
-            rows = cl_flat[cid]                          # [size, 9G]
+            # pair cluster ids; partners beyond the worklist clamp to the
+            # lead id (their lanes are masked by in_cnt below)
+            cids = [jax.lax.dynamic_slice_in_dim(
+                wl_s, jnp.minimum(kk + j, wcl - 1), 1, axis=1)[:, 0]
+                for j in range(pair)]
+            rows = [cl_flat[c] for c in cids]            # pair x [size, 9G]
             active = pending(kk, best_t, 0, size)[:, None, None]
+            # mask lanes whose cluster slot is past this tile's count
+            in_cnt = jnp.stack(
+                [(kk + j) < ccnt[:size] for j in range(pair)],
+                axis=1)                                   # [size, pair]
+            lane_ok = jnp.repeat(in_cnt, G, axis=1)[:, None, :]
             cut = jnp.minimum(best_t[..., None], tmax_s)
-            t, u, v = _mt_rows(o_s, d_s, rows, tmin_s, cut)
-            t = jnp.where(active, t, INF)
+            t, u, v = _mt_rows_multi(o_s, d_s, rows, tmin_s, cut)
+            t = jnp.where(active & lane_ok, t, INF)
             if occlusion:
                 hit = jnp.any(t < INF, axis=-1)
                 best_t = jnp.where(hit, 0.0, best_t)
-                return (kk + 1, best_t, best_tri, best_u, best_v)
+                return (kk + pair, best_t, best_tri, best_u, best_v)
             t_c = jnp.min(t, axis=-1)
             idx = jnp.argmin(t, axis=-1)
             hot = idx[..., None] == lane
             u_c = jnp.sum(jnp.where(hot, u, 0.0), axis=-1)
             v_c = jnp.sum(jnp.where(hot, v, 0.0), axis=-1)
-            slot = cid[:, None] * G + idx
+            slot = idx
+            for j in range(pair):
+                in_j = (idx >= j * G) & (idx < (j + 1) * G)
+                slot = jnp.where(in_j, cids[j][:, None] * G + idx - j * G,
+                                 slot)
             better = t_c < best_t
             return (
-                kk + 1,
+                kk + pair,
                 jnp.where(better, t_c, best_t),
                 jnp.where(better, slot, best_tri),
                 jnp.where(better, u_c, best_u),
@@ -919,7 +1069,7 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
 
         def run(best, w0=w0):
             ccid, centry, ccnt = _cluster_window(
-                sbid, skey, tb, accel, wb, w0)
+                sbid, skey, tb, accel, wb, w0, rays)
             return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
                           occlusion)
 
