@@ -661,26 +661,28 @@ def _trace_stream(origins, dirs, accel: StreamAccel, t_min, t_max,
     tmaxp = padr(t_max, -1.0)
     validp = padr(jnp.ones((n,), jnp.float32))
 
+    # worklist sized to cover EVERY block (>= num_blocks): a chunk frustum
+    # can never overflow it, so no hits are ever silently dropped (the
+    # round-2 wb cap + last_overflow attribute was unobservable from jit
+    # and could lose hits on large scenes — ADVICE r2)
+    wb_eff = max(wb, accel.num_blocks)
     wl, went, cnt, overflow = _build_worklists(op, dp, tminp, tmaxp,
-                                               accel, wb)
+                                               accel, wb_eff)
     rows = jnp.concatenate(
         [op, dp, tminp[:, None], tmaxp[:, None], validp[:, None],
          jnp.zeros((n_pad, 7), jnp.float32)], axis=1)
-    res = _run_kernel(wl, went, cnt, rows, accel, occlusion, wb)
-    return res[:n], overflow
+    res = _run_kernel(wl, went, cnt, rows, accel, occlusion, wb_eff)
+    return res[:n]
 
 
 def closest_hit_stream(origins, dirs, accel: StreamAccel,
                        t_min=1e-4, t_max=1e4, wb: int = 64) -> Hit:
-    """Closest hit of [N, 3] rays via the stream traversal.
+    """Closest hit of [N, 3] rays via the stream traversal (Pallas path).
 
-    ``wb`` caps the per-chunk block worklist; a chunk frustum overlapping
-    more than ``wb`` blocks is reported via ``last_overflow`` (a device
-    bool — raise wb if it ever reads True).
+    The per-chunk block worklist is sized to max(wb, num_blocks), so
+    coverage is always complete.
     """
-    best, overflow = _trace_stream(origins, dirs, accel,
-                                   t_min, t_max, False, wb)
-    closest_hit_stream.last_overflow = overflow
+    best = _trace_stream(origins, dirs, accel, t_min, t_max, False, wb)
     slot = best[:, 3].astype(jnp.int32)
     found = slot >= 0
     orig = jnp.where(found, accel.perm[jnp.maximum(slot, 0)], 0)
@@ -694,11 +696,16 @@ def closest_hit_stream(origins, dirs, accel: StreamAccel,
 
 def any_hit_stream(origins, dirs, accel: StreamAccel,
                    t_min, t_max, wb: int = 64) -> jax.Array:
-    """Boolean occlusion query (ShadowRay.hlsl semantics)."""
-    best, overflow = _trace_stream(origins, dirs, accel,
-                                   t_min, t_max, True, wb)
-    any_hit_stream.last_overflow = overflow
-    return best[:, 3] >= 0.0
+    """Boolean occlusion query (ShadowRay.hlsl semantics).
+
+    Caller-masked rays (t_max <= t_min, e.g. dead shadow lanes) are never
+    occluded — the kernel's t=0 encoding also matches their initial state,
+    so the liveness mask here is what distinguishes them (ADVICE r2)."""
+    best = _trace_stream(origins, dirs, accel, t_min, t_max, True, wb)
+    n = best.shape[0]
+    live = (jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+            > jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
+    return (best[:, 3] >= 0.0) & live
 
 
 # --------------------------- XLA trace path ------------------------------
@@ -1062,14 +1069,21 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
         bound = jnp.max(jnp.minimum(best_t, t_max_t[:, :, 0]), axis=1)
         return jnp.any(has_more & (col < bound))
 
-    for win in range(N_WINDOWS):
-        w0 = win * wb
-        if w0 >= bp and win > 0:
-            break
+    # Window plan: the first N_WINDOWS-1 windows are wb blocks each, the
+    # LAST window covers every remaining block — so worklists can never
+    # overflow and coverage is provably complete whatever the scene size
+    # (the round-2 design capped coverage at N_WINDOWS*wb blocks and
+    # signalled the truncation through a leaked-tracer attribute).  Later
+    # windows still only run under lax.cond while some tile has
+    # unresolved farther blocks.
+    starts = [w0 for w0 in range(0, bp, wb)][:N_WINDOWS]
+    widths = [wb] * len(starts)
+    widths[-1] = bp - starts[-1]
 
-        def run(best, w0=w0):
+    for win, (w0, ww) in enumerate(zip(starts, widths)):
+        def run(best, w0=w0, ww=ww):
             ccid, centry, ccnt = _cluster_window(
-                sbid, skey, tb, accel, wb, w0, rays)
+                sbid, skey, tb, accel, ww, w0, rays)
             return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
                           occlusion)
 
@@ -1079,11 +1093,8 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
             best = jax.lax.cond(window_live(w0, best[0]), run,
                                 lambda b: b, best)
 
-    overflow = window_live(N_WINDOWS * wb, best[0]) if (
-        N_WINDOWS * wb < bp) else jnp.asarray(False)
-
     out = tuple(bb.reshape(n_pad)[:n] for bb in best)
-    return out, overflow
+    return out
 
 
 def coherence_order(origins, dirs, accel: StreamAccel):
@@ -1114,11 +1125,10 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
             t_min[order], t_max[order], wb, presort=False)
         return Hit(t=hit.t[inverse], tri=hit.tri[inverse],
                    u=hit.u[inverse], v=hit.v[inverse])
-    (t, slot, u, v), overflow = _trace_stream_xla(
+    t, slot, u, v = _trace_stream_xla(
         origins, dirs, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         False, wb)
-    closest_hit_stream_xla.last_overflow = overflow
     found = slot >= 0
     orig = jnp.where(found, accel.perm[jnp.maximum(slot, 0)], 0)
     return Hit(t=jnp.where(found, t, INF), tri=orig.astype(jnp.int32),
@@ -1140,11 +1150,10 @@ def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
                                  t_min[order], t_max[order], wb,
                                  presort=False)
         return occ[inverse]
-    (t, slot, u, v), overflow = _trace_stream_xla(
+    t, slot, u, v = _trace_stream_xla(
         origins, dirs, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         True, wb)
-    any_hit_stream_xla.last_overflow = overflow
     # masked rays (t_max <= t_min) start "retired" with the same t=0
     # encoding as occluded — they are NOT occluded
     n = t.shape[0]

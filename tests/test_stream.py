@@ -37,10 +37,28 @@ def test_closest_parity(t_count, method):
     o, d = random_rays(257)
     hb = closest_hit_brute(o, d, tris)
     hs = st.closest_hit_stream_xla(o, d, accel)
-    assert not bool(st.closest_hit_stream_xla.last_overflow)
     np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
                                rtol=1e-5, atol=1e-5)
     assert np.array_equal(np.asarray(hs.tri), np.asarray(hb.tri))
+
+
+def test_many_block_coverage_tiny_wb():
+    """wb smaller than the block count exercises the window plan's final
+    catch-all window (coverage is structurally complete — no overflow
+    path exists anymore): parity must hold even at wb=1."""
+    tris = random_soup(3 * st.S * st.G + 11)    # 4 blocks
+    accel = st.build_stream_accel(tris)
+    assert accel.num_blocks >= 4
+    o, d = random_rays(130)
+    hb = closest_hit_brute(o, d, tris)
+    hs = st.closest_hit_stream_xla(o, d, accel, wb=1)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    t_min = jnp.full((130,), 1e-4)
+    t_max = jnp.full((130,), 3.0)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max, wb=1)
+    assert np.array_equal(np.asarray(os_), np.asarray(ob))
 
 
 def test_anyhit_parity_with_masked_rays():
@@ -89,6 +107,12 @@ def test_pallas_kernel_parity_interpret():
     ob = any_hit_brute(o, d, tris, t_min, t_max)
     os_ = st.any_hit_stream(o, d, accel, t_min, t_max)
     assert np.array_equal(np.asarray(os_), np.asarray(ob))
+    # masked lanes (t_max <= t_min) must never read occluded (ADVICE r2:
+    # the kernel's t=0 "occluded" encoding matches their initial state)
+    t_max_m = jnp.where(jnp.arange(130) % 2 == 0, 2.0, -1.0)
+    ob_m = any_hit_brute(o, d, tris, t_min, t_max_m)
+    os_m = st.any_hit_stream(o, d, accel, t_min, t_max_m)
+    assert np.array_equal(np.asarray(os_m), np.asarray(ob_m))
 
 
 def test_renderer_stream_matches_brute():
