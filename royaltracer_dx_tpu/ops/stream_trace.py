@@ -131,16 +131,25 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     tmax = jnp.where(pad[:, None], -_BIG, jnp.max(tv, axis=1))
     cl_lo = jnp.min(tmin.reshape(b, S, G, 3), axis=2)         # [b, S, 3]
     cl_hi = jnp.max(tmax.reshape(b, S, G, 3), axis=2)
+    # empty (all-padding) clusters/blocks collapse to the degenerate far
+    # point [+BIG, +BIG]: an INVERTED box (lo=+BIG, hi=-BIG) spuriously
+    # PASSES the interval/slab tests (its corner products are +/-inf on
+    # both sides, leaving the slab unconstrained), which made every pad
+    # cluster of the power-of-two device build a live candidate
+    real_cl = jnp.any((perm >= 0).reshape(b, S, G), axis=2)
+    cl_lo = jnp.where(real_cl[..., None], cl_lo, _BIG)
+    cl_hi = jnp.where(real_cl[..., None], cl_hi, _BIG)
     def grp(a, fill):
         return jnp.pad(a, ((0, 0), (0, 128 - S)), constant_values=fill)
 
     groups = [grp(cl_lo[:, :, 0], _BIG), grp(cl_lo[:, :, 1], _BIG),
-              grp(cl_lo[:, :, 2], _BIG), grp(cl_hi[:, :, 0], -_BIG),
-              grp(cl_hi[:, :, 1], -_BIG), grp(cl_hi[:, :, 2], -_BIG)]
+              grp(cl_lo[:, :, 2], _BIG), grp(cl_hi[:, :, 0], _BIG),
+              grp(cl_hi[:, :, 1], _BIG), grp(cl_hi[:, :, 2], _BIG)]
     blk_boxes = jnp.stack(groups, axis=1)                     # [b, 6, 128]
-    real_cl = jnp.any((perm >= 0).reshape(b, S, G), axis=2)
+    real_blk = jnp.any(real_cl, axis=1)
     top_lo = jnp.min(jnp.where(real_cl[..., None], cl_lo, _BIG), axis=1)
     top_hi = jnp.max(jnp.where(real_cl[..., None], cl_hi, -_BIG), axis=1)
+    top_hi = jnp.where(real_blk[:, None], top_hi, _BIG)
 
     def out_lo(x):  # outward (down) bf16 rounding: 2^-8 relative margin
         return (x - jnp.abs(x) * 0.008 - 1e-30).astype(jnp.bfloat16)
