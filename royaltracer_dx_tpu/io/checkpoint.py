@@ -25,9 +25,18 @@ def _flatten(prefix: str, tree) -> dict:
     return out
 
 
+def _format_of(renderer) -> str:
+    if hasattr(renderer, "packed_di"):
+        return "sharded_restir"
+    if hasattr(renderer, "last_di"):
+        return "restir"
+    return "megakernel"
+
+
 def save_renderer_state(path: str, renderer) -> None:
     """Save a Renderer/RestirRenderer's progressive state."""
     state = {
+        "format": np.asarray(_format_of(renderer)),
         "frame": np.asarray(renderer.frame),
         "prev_view": np.asarray(renderer._prev_view),
     }
@@ -48,8 +57,25 @@ def save_renderer_state(path: str, renderer) -> None:
 
 def load_renderer_state(path: str, renderer) -> None:
     """Restore state saved by save_renderer_state into a compatible
-    renderer (same config/resolution)."""
+    renderer (same config/resolution).
+
+    Raises ValueError on a renderer/checkpoint format mismatch instead of
+    silently restoring a partial state (ADVICE r2: a sharded renderer fed
+    a single-device npz used to keep stale zero reservoirs)."""
     data = np.load(path)
+    want = _format_of(renderer)
+    have = str(data["format"]) if "format" in data else (
+        "sharded_restir" if "packed_di" in data
+        else "restir" if "last_di.x2" in data else "megakernel")
+    if want != have:
+        raise ValueError(
+            f"checkpoint format {have!r} does not match renderer "
+            f"{type(renderer).__name__} (expects {want!r})")
+    fb_n = int(data["fb.accum"].shape[0])
+    if fb_n != int(renderer.fb.accum.shape[0]):
+        raise ValueError(
+            f"checkpoint resolution ({fb_n} pixels) does not match the "
+            f"renderer ({int(renderer.fb.accum.shape[0])})")
     renderer.frame = int(data["frame"])
     renderer._prev_view = jnp.asarray(data["prev_view"])
     renderer.fb = renderer.fb.replace(

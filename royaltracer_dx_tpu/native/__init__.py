@@ -34,21 +34,34 @@ class _ObjResult(ctypes.Structure):
 
 def _build() -> str | None:
     src = os.path.join(os.path.dirname(__file__), "objparse.c")
-    out_dir = os.path.join(os.path.dirname(__file__), "_build")
-    os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, "objparse.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
-    for cc in ("cc", "gcc", "clang"):
+    # package dir first (persistent across runs), tmpdir as fallback for
+    # read-only installs (site-packages, containers, NFS) — an OSError on
+    # either candidate must degrade to the pure-Python parser, not raise
+    # out of load_obj (ADVICE r2)
+    candidates = [
+        os.path.join(os.path.dirname(__file__), "_build"),
+        os.path.join(tempfile.gettempdir(),
+                     f"royaltracer_native_{os.getuid()}"),
+    ]
+    for out_dir in candidates:
         try:
-            tmp = out + ".tmp"
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
-                check=True, capture_output=True, timeout=120,
-            )
-            os.replace(tmp, out)
-            return out
-        except (OSError, subprocess.SubprocessError):
+            os.makedirs(out_dir, exist_ok=True)
+            out = os.path.join(out_dir, "objparse.so")
+            if (os.path.exists(out)
+                    and os.path.getmtime(out) >= os.path.getmtime(src)):
+                return out
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    tmp = out + f".tmp{os.getpid()}"
+                    subprocess.run(
+                        [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    os.replace(tmp, out)
+                    return out
+                except (OSError, subprocess.SubprocessError):
+                    continue
+        except OSError:
             continue
     return None
 

@@ -45,10 +45,13 @@ typedef struct {
 } Table;
 
 static uint64_t hash24(const float *r) {
-    const uint64_t *p = (const uint64_t *)r;
+    /* copy into aligned locals: reading float[6] through uint64_t* is
+     * unaligned/strict-aliasing UB */
+    uint64_t w[3];
+    memcpy(w, r, sizeof(w));
     uint64_t h = 1469598103934665603ull;
     for (int i = 0; i < 3; i++) {
-        h ^= p[i];
+        h ^= w[i];
         h *= 1099511628211ull;
     }
     return h ? h : 1;
@@ -139,11 +142,19 @@ ObjResult *obj_parse(const char *data, int64_t len) {
     res->tri_slot = (int32_t *)malloc(
         (size_t)(n_corners ? n_corners : 1) * sizeof(int32_t));
     res->stmts = (char *)malloc((size_t)(stmt_bytes ? stmt_bytes : 1));
-    Table table;
+    /* vertex ids are int32 on the wire; anything larger must fall back to
+     * the Python parser rather than truncate */
+    if (n_corners >= INT32_MAX) {
+        res->error = 1;
+        free(pos); free(nrm); free(out);
+        return res;
+    }
+    Table table = {0};
     if (!pos || !nrm || !out || !res->indices || !res->tri_slot || !res->stmts
         || table_init(&table, round_pow2(2 * (n_corners ? n_corners : 1)))) {
         res->error = 2;
-        free(pos); free(nrm);
+        free(pos); free(nrm); free(out);
+        free(table.keys); free(table.vals);
         return res;
     }
 
@@ -170,6 +181,9 @@ ObjResult *obj_parse(const char *data, int64_t len) {
             while (e < end && *e != '\n') e++;
             const char *q = p + 1;
             int nf = 0;
+            /* faces are capped at 256 corners; larger polygons error out
+             * (error=1) below so the caller falls back to the Python
+             * parser instead of silently dropping geometry */
             while (q < e && nf < 256) {
                 q = skip_ws(q, e);
                 if (q >= e) break;
@@ -200,6 +214,12 @@ ObjResult *obj_parse(const char *data, int64_t len) {
                 else rec[3] = rec[4] = rec[5] = 0.0f;
                 face[nf++] = (int32_t)table_get_or_add(&table, rec, out, &n_out);
                 q = qq;
+            }
+            if (nf == 256 && skip_ws(q, e) < e) {   /* >256-corner face */
+                res->error = 1;
+                free(pos); free(nrm); free(out);
+                free(table.keys); free(table.vals);
+                return res;
             }
             for (int k = 1; k + 1 < nf; k++) {
                 res->indices[n_tris * 3 + 0] = face[0];

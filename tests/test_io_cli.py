@@ -37,6 +37,27 @@ def test_checkpoint_roundtrip_megakernel():
         np.testing.assert_array_equal(r1.radiance(), r2.radiance())
 
 
+def test_checkpoint_format_mismatch_raises():
+    """A checkpoint must not silently restore into the wrong renderer
+    type or resolution (ADVICE r2)."""
+    import pytest
+
+    from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
+
+    r1 = Renderer(cornell_box(), CAM, CFG)
+    r1.render()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_renderer_state(path, r1)
+        rr = RestirRenderer(cornell_box(), CAM, CFG)
+        with pytest.raises(ValueError, match="format"):
+            load_renderer_state(path, rr)
+        r_small = Renderer(cornell_box(), CAM,
+                           RenderConfig(width=16, height=16, max_bounces=2))
+        with pytest.raises(ValueError, match="resolution"):
+            load_renderer_state(path, r_small)
+
+
 def test_aovs():
     scene = cornell_box().flatten(cornell_box().build_materials(with_lut=False))
     cam = {k: jnp.asarray(v) for k, v in CAM.matrices(1.0).items()}
