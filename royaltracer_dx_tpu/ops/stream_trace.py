@@ -925,15 +925,17 @@ def _mt_planes(o, d, p, t_min, t_max):
     return jnp.where(ok, t, INF), u, v
 
 
-def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
-           pair: int = 2):
+def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
     per round every live tile gathers ``pair`` cluster rows and runs dense
     [TILE x pair*G] MT with per-ray best-t culling.  pair=2 fills the full
     128-lane VPU row (G=64 alone wastes half the lanes) and halves the
-    serial round count.  ``rays`` = (o, d, t_min_t, t_max_t) in
-    [tiles, TILE(, 1)] layout; ``best`` = (t, slot, u, v)."""
+    serial round count; the small tail segments (a few tiles with
+    worklists of hundreds of clusters — grazing-angle frusta) widen to
+    pair=4/8 so the tail is not hundreds of serial tiny rounds.  ``rays``
+    = (o, d, t_min_t, t_max_t) in [tiles, TILE(, 1)] layout; ``best`` =
+    (t, slot, u, v)."""
     o, d, t_min_t, t_max_t = rays
     tiles = ccnt.shape[0]
     perm = jnp.argsort(-ccnt)
@@ -946,7 +948,6 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
     t_min_t = t_min_t[perm]
     t_max_t = t_max_t[perm]
     best = tuple(b[perm] for b in best)
-    lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
     wcl = ccid.shape[1]
 
     def pending(k, best_t, lo, hi):
@@ -963,6 +964,8 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
     sizes = _segment_sizes(tiles)
     for si, size in enumerate(sizes):
         lower = sizes[si + 1] if si + 1 < len(sizes) else 0
+        pair = 2 if size > 512 else (4 if size > 32 else 8)
+        lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
         wl_s = ccid[:size]
         o_s = [c[:size] for c in o]
         d_s = [c[:size] for c in d]
@@ -974,7 +977,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
             return (kk < wcl) & jnp.any(pending(kk, best_t, lower, size))
 
         def body(st, size=size, wl_s=wl_s, o_s=o_s, d_s=d_s,
-                 tmin_s=tmin_s, tmax_s=tmax_s):
+                 tmin_s=tmin_s, tmax_s=tmax_s, pair=pair, lane=lane):
             kk, best_t, best_tri, best_u, best_v = st
             # pair cluster ids; partners beyond the worklist clamp to the
             # lead id (their lanes are masked by in_cnt below)
@@ -1121,7 +1124,7 @@ def coherence_order(origins, dirs, accel: StreamAccel):
 
 
 def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                           t_min=1e-4, t_max=1e4, wb: int = 32,
+                           t_min=1e-4, t_max=1e4, wb: int = 64,
                            presort: bool = False) -> Hit:
     """Closest hit via the pure-XLA stream traversal (default path)."""
     if presort:
@@ -1145,7 +1148,7 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
 
 
 def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                       t_min, t_max, wb: int = 32,
+                       t_min, t_max, wb: int = 64,
                        presort: bool = False) -> jax.Array:
     """Occlusion query via the pure-XLA stream traversal.
 
