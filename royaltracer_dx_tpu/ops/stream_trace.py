@@ -57,6 +57,8 @@ TILE = 64              # rays per tile in the XLA phase-B sweeps
 ROW = 9 * G * S          # floats per flat block row (36864 = 147 KB)
 _DET_EPS = 1e-12
 _BIG = 3.0e38
+_ONEHOT_MAX_CLUSTERS = 512   # sweep row-fetch via one-hot MXU matmul below
+                             # this table size (~32k tris); gathers above
 
 
 @flax.struct.dataclass
@@ -960,6 +962,22 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
                         axis=1)
         return (k < ccnt[lo:hi]) & (nxt < bound)
 
+    # Row fetch: XLA row gathers cost ~136 ns/row regardless of width, so
+    # at small cluster tables (<= _ONEHOT_MAX_CLUSTERS rows) rows are
+    # fetched by an f32 one-hot matmul at HIGHEST precision instead — the
+    # MXU-native gather, ~100x cheaper per row at 1080p tile counts, and
+    # BIT-EXACT (each output element is 1.0*x + 0.0*rest; the bf16x3
+    # decomposition of HIGHEST reproduces f32 exactly — TPU smoke test).
+    n_clusters = cl_flat.shape[0]
+    onehot = n_clusters <= _ONEHOT_MAX_CLUSTERS
+    cl_iota = jnp.arange(n_clusters, dtype=jnp.int32)[None, :]
+
+    def fetch_rows(cid):
+        if not onehot:
+            return cl_flat[cid]
+        oh = (cid[:, None] == cl_iota).astype(jnp.float32)
+        return jnp.dot(oh, cl_flat, precision=jax.lax.Precision.HIGHEST)
+
     k = jnp.int32(0)
     sizes = _segment_sizes(tiles)
     for si, size in enumerate(sizes):
@@ -984,7 +1002,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
             cids = [jax.lax.dynamic_slice_in_dim(
                 wl_s, jnp.minimum(kk + j, wcl - 1), 1, axis=1)[:, 0]
                 for j in range(pair)]
-            rows = [cl_flat[c] for c in cids]            # pair x [size, 9G]
+            rows = [fetch_rows(c) for c in cids]         # pair x [size, 9G]
             active = pending(kk, best_t, 0, size)[:, None, None]
             # mask lanes whose cluster slot is past this tile's count
             in_cnt = jnp.stack(
@@ -1132,11 +1150,21 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         order, inverse = coherence_order(origins, dirs, accel)
+        # pack rays/results so each permutation is ONE wide-row gather
+        # (per-ray gathers cost ~7-12 ns/row regardless of width)
+        packed = jnp.concatenate(
+            [origins, dirs, t_min[:, None], t_max[:, None]], axis=1)[order]
         hit = closest_hit_stream_xla(
-            origins[order], dirs[order], accel,
-            t_min[order], t_max[order], wb, presort=False)
-        return Hit(t=hit.t[inverse], tri=hit.tri[inverse],
-                   u=hit.u[inverse], v=hit.v[inverse])
+            packed[:, 0:3], packed[:, 3:6], accel,
+            packed[:, 6], packed[:, 7], wb, presort=False)
+        res = jnp.stack(
+            [hit.t, hit.tri.astype(jnp.float32), hit.u, hit.v],
+            axis=1)[inverse]
+        # tri ids ride as float VALUES (exact below 2^24 — bitcast would
+        # denormal-flush small ids on TPU); assert the range statically
+        assert accel.perm.shape[0] < (1 << 24)
+        return Hit(t=res[:, 0], tri=res[:, 1].astype(jnp.int32),
+                   u=res[:, 2], v=res[:, 3])
     t, slot, u, v = _trace_stream_xla(
         origins, dirs, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
@@ -1158,8 +1186,10 @@ def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         order, inverse = coherence_order(origins, dirs, accel)
-        occ = any_hit_stream_xla(origins[order], dirs[order], accel,
-                                 t_min[order], t_max[order], wb,
+        packed = jnp.concatenate(
+            [origins, dirs, t_min[:, None], t_max[:, None]], axis=1)[order]
+        occ = any_hit_stream_xla(packed[:, 0:3], packed[:, 3:6], accel,
+                                 packed[:, 6], packed[:, 7], wb,
                                  presort=False)
         return occ[inverse]
     t, slot, u, v = _trace_stream_xla(

@@ -756,18 +756,14 @@ class RestirRenderer:
 
         res_di, sdata, gi_in, seed = pass1_di(scene, cam, frame, cfg)
         tick("pass1_di", res_di["w_sum"])
-        if self.profile:
-            occupancy["pass1_sampling"] = float(
-                jnp.mean(gi_in["sampling"].astype(jnp.float32)))
+        occ_dev = [jnp.mean(gi_in["sampling"].astype(jnp.float32))]
         st = pass1_gi_init(scene, gi_in, seed, cfg)
         compact = cfg.gi_compaction == "on" or (
             cfg.gi_compaction == "auto" and scene.stream is not None)
         bounce_fn = pass1_gi_bounce_compact if compact else pass1_gi_bounce
         for b in range(cfg.gi_bounces):
+            occ_dev.append(jnp.mean(st["active"].astype(jnp.float32)))
             st = bounce_fn(scene, cfg, st, jnp.uint32(b))
-            if self.profile:
-                occupancy[f"gi_bounce{b}_active"] = float(
-                    jnp.mean(st["active"].astype(jnp.float32)))
         res_gi, _ = pass1_gi_final(scene, gi_in, st, cfg)
         tick("pass1_gi", res_gi["w_sum"])
 
@@ -810,25 +806,41 @@ class RestirRenderer:
         self._prev_view = cam["view"]
         self._prev_proj = cam["proj"]
         self.frame += 1
-        # dispatched ray lanes per frame (lock-step: masked lanes still pay):
-        # pass1 = primary + bsdf-DI + W-visibility + GI(init + per-bounce
-        # (1 cont) + final shadow); pass2 = 2 vis; pass3 = (2k+1) DI vis +
-        # 2k+? GI vis  (see pass fns) — counted structurally:
+        # Ray accounting.  Lock-step LANES per pixel (masked lanes still
+        # pay VPU time): pass1 = primary + bsdf-DI + W-visibility +
+        # GI(init + per-bounce cont + final shadow); pass2 = 2 vis;
+        # pass3 = (2k+1) DI vis + 2k GI vis.  The DEFAULT mrays_per_s is
+        # the honest ACTIVE-ray number: mask-gated sites scaled by the
+        # measured pass-1 sampling fraction / per-bounce GI occupancy
+        # (one stacked device->host transfer per frame).
         k = cfg.spatial_candidate_count
-        rays_per_pixel = (3 + 1) + (1 + cfg.gi_bounces + 1) + 2 + (3 * k + 1 + 2)
-        rays = cfg.num_pixels * rays_per_pixel
+        b_gi = cfg.gi_bounces
+        lanes_pp = (3 + 1) + (1 + b_gi + 1) + 2 + (3 * k + 1 + 2)
+        lanes = cfg.num_pixels * lanes_pp
+        ov = np.asarray(jnp.stack(occ_dev), np.float64)
+        s1, occs = float(ov[0]), ov[1:]
+        active_pp = (1.0                       # primary (all lanes)
+                     + (1 + 1 + 1 + 1) * s1    # DI bsdf+vis, GI init+shadow
+                     + float(occs.sum())       # GI continuations
+                     + 2.0 * s1                # pass2 vis
+                     + (3 * k + 1 + 2) * s1)   # pass3 vis
+        rays_active = cfg.num_pixels * active_pp
         self.metrics = dict(
             frame_time_s=dt,
             fps=1.0 / max(dt, 1e-9),
             frame=self.frame,
-            rays_traced=rays,
-            mrays_per_s=rays / dt / 1e6,
+            rays_traced=rays_active,
+            ray_lanes=lanes,
+            pass1_sampling=s1,
+            mrays_per_s=rays_active / dt / 1e6,
+            mray_lanes_per_s=lanes / dt / 1e6,
         )
         if self.profile:
+            occupancy["pass1_sampling"] = s1
+            for b in range(b_gi):
+                occupancy[f"gi_bounce{b}_active"] = float(ov[1 + b])
             self.metrics["pass_times_s"] = pass_times
             self.metrics["occupancy"] = occupancy
-            self.metrics["mray_lanes_per_s_active"] = (
-                rays * occupancy.get("pass1_sampling", 1.0) / dt / 1e6)
 
     def radiance(self) -> np.ndarray:
         """Linear image: accumulated ReSTIR shade, L1 passthrough for

@@ -34,6 +34,24 @@ def test_restir_garage_frame_on_tpu():
     assert float(ch.std()) > 1e-3 * max(float(ch.mean()), 1e-6), ch
 
 
+def test_onehot_highest_fetch_bitexact_on_tpu():
+    """The sweep's small-scene row fetch (one-hot matmul at HIGHEST
+    precision) must reproduce gathered f32 rows BIT-exactly on the MXU —
+    the bf16x3 decomposition makes 1.0*x + 0.0*rest exact."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.standard_normal((128, 576)).astype(np.float32)
+                        * rng.uniform(1e-6, 1e6, (128, 1)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 128, 4096).astype(np.int32))
+    oh = (idx[:, None] == jnp.arange(128)[None, :]).astype(jnp.float32)
+    fetched = jax.jit(lambda o, t: jnp.dot(
+        o, t, precision=jax.lax.Precision.HIGHEST))(oh, table)
+    gathered = table[idx]
+    assert np.array_equal(np.asarray(fetched), np.asarray(gathered))
+
+
 def test_stream_traversal_parity_on_tpu():
     import jax.numpy as jnp
 
