@@ -973,16 +973,25 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
     cl_iota = jnp.arange(n_clusters, dtype=jnp.int32)[None, :]
 
     def fetch_rows(cid):
-        if not onehot:
-            return cl_flat[cid]
-        oh = (cid[:, None] == cl_iota).astype(jnp.float32)
-        return jnp.dot(oh, cl_flat, precision=jax.lax.Precision.HIGHEST)
+        """cid [size, pair] -> 9 planes of [size, 1, pair*G]."""
+        size, pr = cid.shape
+        if onehot:
+            oh = (cid.reshape(size * pr, 1) == cl_iota).astype(jnp.float32)
+            flat = jnp.dot(oh, cl_flat,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            flat = cl_flat[cid.reshape(size * pr)]
+        r3 = flat.reshape(size, pr, 9, G)
+        return [r3[:, :, kk, :].reshape(size, 1, pr * G) for kk in range(9)]
 
     k = jnp.int32(0)
     sizes = _segment_sizes(tiles)
     for si, size in enumerate(sizes):
         lower = sizes[si + 1] if si + 1 < len(sizes) else 0
-        pair = 2 if size > 512 else (4 if size > 32 else 8)
+        # wider rounds as the live prefix shrinks: the tail tiles hold
+        # hundreds of clusters (grazing frusta) and serialize the sweep
+        pair = (2 if size > 2048 else 4 if size > 256 else
+                8 if size > 32 else 16)
         lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
         wl_s = ccid[:size]
         o_s = [c[:size] for c in o]
@@ -997,20 +1006,20 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         def body(st, size=size, wl_s=wl_s, o_s=o_s, d_s=d_s,
                  tmin_s=tmin_s, tmax_s=tmax_s, pair=pair, lane=lane):
             kk, best_t, best_tri, best_u, best_v = st
-            # pair cluster ids; partners beyond the worklist clamp to the
-            # lead id (their lanes are masked by in_cnt below)
-            cids = [jax.lax.dynamic_slice_in_dim(
-                wl_s, jnp.minimum(kk + j, wcl - 1), 1, axis=1)[:, 0]
-                for j in range(pair)]
-            rows = [fetch_rows(c) for c in cids]         # pair x [size, 9G]
+            # pair cluster ids in ONE slice (start clamps so the slice
+            # stays in range; trailing lanes are masked by in_cnt below)
+            cids = jax.lax.dynamic_slice_in_dim(
+                wl_s, jnp.minimum(kk, wcl - pair), pair, axis=1)
+            p = fetch_rows(cids)                # 9 x [size, 1, pair*G]
             active = pending(kk, best_t, 0, size)[:, None, None]
-            # mask lanes whose cluster slot is past this tile's count
-            in_cnt = jnp.stack(
-                [(kk + j) < ccnt[:size] for j in range(pair)],
-                axis=1)                                   # [size, pair]
+            # mask lanes whose cluster slot is past this tile's count or
+            # belongs to a clamped (re-read) worklist column
+            start = jnp.minimum(kk, wcl - pair)
+            col = start + jnp.arange(pair, dtype=jnp.int32)[None, :]
+            in_cnt = (col >= kk) & (col < ccnt[:size, None])  # [size, pair]
             lane_ok = jnp.repeat(in_cnt, G, axis=1)[:, None, :]
             cut = jnp.minimum(best_t[..., None], tmax_s)
-            t, u, v = _mt_rows_multi(o_s, d_s, rows, tmin_s, cut)
+            t, u, v = _mt_planes(o_s, d_s, p, tmin_s, cut)
             t = jnp.where(active & lane_ok, t, INF)
             if occlusion:
                 hit = jnp.any(t < INF, axis=-1)
@@ -1024,8 +1033,8 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
             slot = idx
             for j in range(pair):
                 in_j = (idx >= j * G) & (idx < (j + 1) * G)
-                slot = jnp.where(in_j, cids[j][:, None] * G + idx - j * G,
-                                 slot)
+                slot = jnp.where(
+                    in_j, cids[:, j:j + 1] * G + idx - j * G, slot)
             better = t_c < best_t
             return (
                 kk + pair,
