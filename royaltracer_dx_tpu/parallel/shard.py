@@ -76,11 +76,15 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
     """The flagship ReSTIR DI+GI frame under pixel-BAND data parallelism.
 
     The image shards by rows into ``n_devices`` bands; scene/camera
-    replicate.  Cross-pixel reuse stays intra-band: spatial taps
-    mirror-clamp at band borders exactly like the reference clamps at image
-    borders (Common_v6.hlsl:223-236), and temporal reprojections that leave
-    the band reject reuse (safe fallback to the current-frame reservoir).
-    No per-frame collectives — the render is embarrassingly parallel.
+    replicate.  Cross-pixel reuse CROSSES band borders through a row-halo
+    exchange (round 3): each band ppermutes its top/bottom
+    ``spatial_radius`` rows of packed records to its neighbors, so pass-3
+    spatial taps (globally image-mirrored, radius <= halo) and pass-2
+    temporal reprojections landing within the halo match the single-chip
+    renderer EXACTLY.  Only reprojections jumping further than the halo
+    (fast camera/object motion) fall back to rejecting temporal reuse —
+    the documented residual deviation.  Per-frame collectives: two
+    ppermute pairs of [halo*W, 26] rows over ICI.
 
     Returns fn(scene, cam, frame, xs, ys, packed_di, packed_gi) ->
     (sample [N,3], new_packed_di, new_packed_gi, l1 [N,3]) with xs/ys the
@@ -94,21 +98,41 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
     if cfg.height % n_dev:
         raise ValueError(f"height {cfg.height} not divisible by {n_dev} devices")
     band_h = cfg.height // n_dev
+    halo_rows = min(cfg.spatial_radius, band_h)
+    hw = halo_rows * cfg.width
+
+    def halo_extend(a):
+        """[band_n, C] -> [band_n + 2*hw, C]: neighbors' adjacent rows
+        stacked above/below (zero-filled at the image's outer edges, which
+        globally-mirrored taps never address)."""
+        if n_dev == 1:
+            return jnp.pad(a, ((hw, hw), (0, 0)))
+        from_above = jax.lax.ppermute(
+            a[-hw:], PIXEL_AXIS, [(i, i + 1) for i in range(n_dev - 1)])
+        from_below = jax.lax.ppermute(
+            a[:hw], PIXEL_AXIS, [(i, i - 1) for i in range(1, n_dev)])
+        return jnp.concatenate([from_above, a, from_below], axis=0)
 
     def local(scene, cam, frame, xs, ys, packed_di, packed_gi):
-        row0 = ys[0]
+        row0 = ys[0] - halo_rows          # first GLOBAL row of the
+        bh_ext = band_h + 2 * halo_rows   # halo-extended local window
         res_di, sdata, gi_in, seed = rr.pass1_di(scene, cam, frame, cfg, xs, ys)
         st = rr.pass1_gi_init(scene, gi_in, seed, cfg)
         for b in range(cfg.gi_bounces):
             st = rr.pass1_gi_bounce(scene, cfg, st, jnp.uint32(b))
         res_gi, _ = rr.pass1_gi_final(scene, gi_in, st, cfg)
         res_di, res_gi = rr.pass2_temporal(
-            scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi,
-            cfg, xs=xs, ys=ys, row0=row0, band_h=band_h,
+            scene, cam, frame, res_di, res_gi, sdata,
+            halo_extend(packed_di), halo_extend(packed_gi),
+            cfg, xs=xs, ys=ys, row0=row0, band_h=bh_ext,
         )
+        cur_di = rr._pack_record(sdata, res_di, rr._DI_KEYS)
+        cur_gi = rr._pack_record(sdata, res_gi, rr._GI_KEYS)
         sample, shaded, out_di, out_gi = rr.pass3_spatial(
             scene, cam, frame, res_di, res_gi, sdata, cfg,
-            xs=xs, ys=ys, row0=row0, band_h=band_h,
+            xs=xs, ys=ys, row0=row0, band_h=bh_ext,
+            packed_di_ext=halo_extend(cur_di),
+            packed_gi_ext=halo_extend(cur_gi),
         )
         # ping-pong: the 'last' tables update only for shaded lanes
         sh = shaded[:, None]

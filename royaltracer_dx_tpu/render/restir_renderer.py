@@ -298,8 +298,13 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
         scene, sdata["x1"], sdata["obj"], cam["prev_view"],
         cam["prev_proj"], cfg.width, cfg.height,
     )
+    # global image bounds (the reference indexes garbage out of bounds),
+    # then the local window: band_h/row0 may describe a halo-extended
+    # band (parallel/shard.py) whose local rows cover [row0, row0+band_h)
     ly = py - row0
-    in_bounds = (px >= 0) & (px < cfg.width) & (ly >= 0) & (ly < band_h)
+    in_bounds = ((px >= 0) & (px < cfg.width)
+                 & (py >= 0) & (py < cfg.height)
+                 & (ly >= 0) & (ly < band_h))
     idx = jnp.clip(ly, 0, band_h - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
 
     l_sd, l_di = _unpack_record(last_packed_di[idx], _DI_KEYS)
@@ -438,9 +443,12 @@ def _select_try(planes, idx_v: jax.Array):
 def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     """TRY-MAJOR weighted-disk neighbor picks (Common_v6.hlsl:203-241).
 
-    Under pixel-band sharding, rows mirror-clamp into the band exactly like
-    the reference clamps at image borders (documented deviation).  Returns
-    (pidx [T, N] — LOCAL band indices, is_center [T, N], seed)."""
+    Rows mirror-clamp at IMAGE borders exactly like the reference
+    (Common_v6.hlsl:223-236).  Under pixel-band sharding, band_h/row0
+    describe the halo-extended local window (halo >= spatial_radius, see
+    parallel/shard.py), so every globally-mirrored tap resolves to a
+    locally-present row and multi-chip taps match single-chip exactly.
+    Returns (pidx [T, N] — LOCAL indices, is_center [T, N], seed)."""
     if band_h is None:
         band_h = cfg.height
     tries = cfg.spatial_max_tries
@@ -450,23 +458,28 @@ def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     ox = (jnp.cos(ang) * r).astype(jnp.int32)
     oy = (jnp.sin(ang) * r).astype(jnp.int32)
     nx = restir.mirror_clamp(xs + ox, cfg.width)
-    ly = restir.mirror_clamp(ys - row0 + oy, band_h)   # band-local row
+    ny = restir.mirror_clamp(ys + oy, cfg.height)      # GLOBAL row mirror
     # single-reflection mirroring assumes radius << size; clip keeps tiny
-    # images/bands (size < radius) in range on both axes
+    # images (size < radius) in range on both axes
     nx = jnp.clip(nx, 0, cfg.width - 1)
-    ly = jnp.clip(ly, 0, band_h - 1)
-    is_center = (nx == xs) & (ly == ys - row0)
+    ly = jnp.clip(ny - row0, 0, band_h - 1)            # local window row
+    is_center = (nx == xs) & (ny == ys)
     return ly * cfg.width + nx, is_center, seed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "band_h"))
 def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
                   sdata: dict, cfg: RenderConfig, xs=None, ys=None,
-                  row0=0, band_h: int | None = None):
+                  row0=0, band_h: int | None = None,
+                  packed_di_ext=None, packed_gi_ext=None):
     """Spatial reuse + final shade (RayGen_v6_pass3.hlsl:47-463).
 
     Returns (radiance sample [N,3], shaded_mask, out_di planes, out_gi
-    planes).  See pass2_temporal for the pixel-band sharding contract."""
+    planes).  See pass2_temporal for the pixel-band sharding contract;
+    packed_di_ext/packed_gi_ext are the halo-extended current-frame
+    candidate tables a band shard passes in (parallel/shard.py) so
+    spatial taps can cross band borders — without them the tables are
+    built locally (single-chip path, identical result)."""
     if xs is None:
         xs, ys = _pixel_grid(cfg)
     seed = pixel_seed(xs, ys, 3, frame)
@@ -477,8 +490,11 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     k = cfg.spatial_candidate_count
     zero = shading.astype(jnp.float32) * 0.0
 
-    packed_di = _pack_record(sdata, cur_di, _DI_KEYS)   # [N, 26]
-    packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS)
+    if packed_di_ext is None:
+        packed_di = _pack_record(sdata, cur_di, _DI_KEYS)   # [N, 26]
+        packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS)
+    else:
+        packed_di, packed_gi = packed_di_ext, packed_gi_ext
 
     # ---- DI candidates (pass3:107-142)
     pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)

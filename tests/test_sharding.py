@@ -97,12 +97,12 @@ def test_sharded_restir_frame_runs_and_converges():
     assert m_prev > 1.0       # temporal reuse accumulated confidence
 
 
-def test_sharded_restir_renderer_product_path():
+def test_sharded_restir_renderer_full_image_equality():
     """The product-facing multi-chip renderer (parallel/shard.py
-    ShardedRestirRenderer): renders finite frames on the virtual mesh and
-    band-INTERIOR pixels match the single-device RestirRenderer exactly
-    (band borders legitimately differ: spatial taps mirror-clamp at band
-    edges like the reference clamps at image borders)."""
+    ShardedRestirRenderer) matches the single-device RestirRenderer on
+    the FULL image including band-border rows: the round-3 halo exchange
+    (ppermute of spatial_radius packed rows per border) makes spatial
+    taps and in-halo temporal reprojections identical to single-chip."""
     import numpy as np
 
     from royaltracer_dx_tpu.camera import Camera
@@ -126,16 +126,33 @@ def test_sharded_restir_renderer_product_path():
     a = np.asarray(ref.radiance())
     b = np.asarray(shr.radiance())
     assert np.isfinite(b).all()
-    band_h = h // n_dev
-    # border contamination propagates one tap radius per FRAME (a pixel's
-    # record depends on neighbors' previous-frame records), so the
-    # provably-identical interior shrinks by frames * radius
-    margin = 3 * cfg.spatial_radius + 1
-    interior = np.zeros(h, bool)
-    for band in range(n_dev):
-        interior[band * band_h + margin:(band + 1) * band_h - margin] = True
-    assert interior.sum() >= 6
-    np.testing.assert_allclose(b[interior], a[interior], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_restir_four_bands_full_equality():
+    """Same full-image equality across 4 bands (each band exchanges with
+    two neighbors) and with a band height close to the halo size."""
+    import numpy as np
+
+    from royaltracer_dx_tpu.camera import Camera
+    from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.parallel.shard import ShardedRestirRenderer
+    from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
+    from royaltracer_dx_tpu.scene.procedural import cornell_box
+
+    cam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=32, spatial_radius=4,
+                       spatial_max_tries=4, gi_bounces=1,
+                       nee_samples=2, nee_samples_di=2)
+    ref = RestirRenderer(cornell_box(emission=18.0), cam, cfg)
+    shr = ShardedRestirRenderer(cornell_box(emission=18.0), cam, cfg,
+                                devices=jax.devices()[:4])
+    for _ in range(2):
+        ref.render()
+        shr.render()
+    np.testing.assert_allclose(np.asarray(shr.radiance()),
+                               np.asarray(ref.radiance()),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_renderer_checkpoint_roundtrip(tmp_path):
