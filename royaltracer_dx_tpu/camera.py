@@ -248,3 +248,213 @@ def _rotate_axis(v: np.ndarray, axis: np.ndarray, angle: float) -> np.ndarray:
     axis = axis / np.linalg.norm(axis)
     c, s = math.cos(angle), math.sin(angle)
     return v * c + np.cross(axis, v) * s + axis * np.dot(axis, v) * (1.0 - c)
+
+
+# ----------------------- interactive manipulator -------------------------
+#
+# Behavioral port of rdn/manipulator.{h,cpp} (nv_helpers_dx12::Manipulator):
+# the four modes (Examine / Fly / Walk / Trackball), the mouse-mode state
+# machine (mouseMove -> motion, manipulator.cpp:165-197), and the exact
+# orbit / pan / dolly / trackball math — including the reference's quirks
+# (the orbit pole guard keyed on sign(x), manipulator.cpp:381-383, and the
+# trackball axis transformed by the VIEW matrix rather than its inverse,
+# manipulator.cpp:270).
+
+
+class Manipulator:
+    """Stateful camera manipulator (rdn/manipulator.h:33-80 semantics).
+
+    Modes/actions use the reference's names; drive it with
+    ``mouse_move(x, y, lmb=..., ...)`` and read ``camera`` (a `Camera`)
+    or ``matrix()`` (the glm::lookAt view matrix).
+    """
+
+    EXAMINE, FLY, WALK, TRACKBALL = "examine", "fly", "walk", "trackball"
+    NONE, ORBIT, DOLLY, PAN, LOOKAROUND = (
+        "none", "orbit", "dolly", "pan", "lookaround")
+
+    def __init__(self, camera: Camera | None = None, width: int = 1920,
+                 height: int = 1080):
+        cam = camera or Camera()
+        self.pos = np.asarray(cam.eye, np.float64)
+        self.int = np.asarray(cam.center, np.float64)
+        self.up = np.asarray(cam.up, np.float64)
+        self.width = int(width)
+        self.height = int(height)
+        self.mode = self.EXAMINE
+        self.speed = 30.0          # m_speed (manipulator.h:137)
+        self.tbsize = 0.8          # m_tbsize (manipulator.h:142)
+        self.mouse = np.zeros(2, np.float64)
+
+    # -- public API (the reference's call surface) --
+
+    @property
+    def camera(self) -> Camera:
+        return Camera(eye=tuple(np.float32(self.pos)),
+                      center=tuple(np.float32(self.int)),
+                      up=tuple(np.float32(self.up)))
+
+    def matrix(self) -> np.ndarray:
+        """m_matrix = glm::lookAt(pos, int, up) (manipulator.cpp:303)."""
+        return look_at(self.pos, self.int, self.up)
+
+    def set_lookat(self, eye, center, up) -> None:
+        self.pos = np.asarray(eye, np.float64)
+        self.int = np.asarray(center, np.float64)
+        self.up = np.asarray(up, np.float64)
+
+    def set_mouse_position(self, x: float, y: float) -> None:
+        self.mouse[:] = (x, y)
+
+    def set_window_size(self, w: int, h: int) -> None:
+        self.width, self.height = int(w), int(h)
+
+    def mouse_move(self, x: float, y: float, *, lmb=False, mmb=False,
+                   rmb=False, shift=False, ctrl=False, alt=False) -> str:
+        """The button/modifier -> action state machine
+        (manipulator.cpp:176-197).  Returns the action taken."""
+        action = self.NONE
+        if lmb:
+            if (ctrl and shift) or alt:
+                action = (self.LOOKAROUND if self.mode == self.EXAMINE
+                          else self.ORBIT)
+            elif shift:
+                action = self.DOLLY
+            elif ctrl:
+                action = self.PAN
+            else:
+                action = (self.ORBIT if self.mode == self.EXAMINE
+                          else self.LOOKAROUND)
+        elif mmb:
+            action = self.PAN
+        elif rmb:
+            action = self.DOLLY
+        if action != self.NONE:
+            self._motion(x, y, action)
+        return action
+
+    def wheel(self, value: int) -> None:
+        """manipulator.cpp:200-211: dolly by value*|value|/width."""
+        fval = float(value)
+        dx = (fval * abs(fval)) / float(self.width)
+        self._dolly(dx * self.speed, dx * self.speed)
+
+    # -- internals (manipulator.cpp math, float64 like glm doubles) --
+
+    def _motion(self, x: float, y: float, action: str) -> None:
+        dx = (x - self.mouse[0]) / self.width
+        dy = (y - self.mouse[1]) / self.height
+        if action == self.ORBIT:
+            if self.mode == self.TRACKBALL:
+                self._orbit(dx, dy, invert=True)
+            else:
+                self._orbit(dx, dy, invert=False)
+        elif action == self.DOLLY:
+            self._dolly(dx, dy)
+        elif action == self.PAN:
+            self._pan(dx, dy)
+        elif action == self.LOOKAROUND:
+            if self.mode == self.TRACKBALL:
+                self._trackball(x, y)
+            else:
+                self._orbit(dx, -dy, invert=True)
+        self.mouse[:] = (x, y)
+
+    def _orbit(self, dx: float, dy: float, invert: bool) -> None:
+        """manipulator.cpp:345-399 (incl. the sign(x) pole guard)."""
+        if abs(dx) < 1e-12 and abs(dy) < 1e-12:
+            return
+        dx *= 2.0 * math.pi
+        dy *= 2.0 * math.pi
+        origin = self.pos if invert else self.int
+        position = self.int if invert else self.pos
+        center_to_eye = position - origin
+        radius = np.linalg.norm(center_to_eye)
+        center_to_eye = center_to_eye / radius
+        axe_z = center_to_eye
+        center_to_eye = _rotate_axis(center_to_eye, self.up, dx)
+        axe_x = np.cross(self.up, axe_z)
+        axe_x = axe_x / np.linalg.norm(axe_x)
+        vect_rot = _rotate_axis(center_to_eye, axe_x, dy)
+        if np.sign(vect_rot[0]) == np.sign(center_to_eye[0]):
+            center_to_eye = vect_rot
+        new_position = center_to_eye * radius + origin
+        if not invert:
+            self.pos = new_position
+        else:
+            self.int = new_position
+
+    def _pan(self, dx: float, dy: float) -> None:
+        """manipulator.cpp:319-339."""
+        if self.mode == self.FLY:
+            dx, dy = -dx, -dy
+        z = self.pos - self.int
+        length = np.linalg.norm(z) / 0.785
+        z = z / np.linalg.norm(z)
+        x = np.cross(self.up, z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        y = y / np.linalg.norm(y)
+        delta = x * (-dx * length) + y * (dy * length)
+        self.pos = self.pos + delta
+        self.int = self.int + delta
+
+    def _dolly(self, dx: float, dy: float) -> None:
+        """manipulator.cpp:404-445 (never crosses the interest point)."""
+        z = self.int - self.pos
+        length = np.linalg.norm(z)
+        if length < 1e-12:
+            return
+        if self.mode != self.EXAMINE:
+            dd = -dy
+        else:
+            dd = dx if abs(dx) > abs(dy) else -dy
+        factor = self.speed * dd / length
+        length = max(length / 10.0, 0.001)
+        factor *= length
+        if factor >= 1.0:
+            return
+        z = z * factor
+        if self.mode == self.WALK:
+            if self.up[1] > self.up[2]:
+                z[1] = 0.0
+            else:
+                z[2] = 0.0
+        self.pos = self.pos + z
+        if self.mode != self.EXAMINE:
+            self.int = self.int + z
+
+    def _project_tb(self, p: np.ndarray) -> float:
+        """projectOntoTBSphere (manipulator.cpp:283-299): sphere inside
+        r/sqrt(2), hyperbolic sheet outside."""
+        d = np.linalg.norm(p)
+        if d < self.tbsize * 0.70710678118654752440:
+            return math.sqrt(self.tbsize * self.tbsize - d * d)
+        t = self.tbsize / 1.41421356237309504880
+        return t * t / max(d, 1e-12)
+
+    def _trackball(self, x: float, y: float) -> None:
+        """Deformed trackball (manipulator.cpp:236-276) — including the
+        reference's axis transform by m_matrix (the view matrix, NOT its
+        inverse; manipulator.cpp:270)."""
+        p0 = np.array([2 * (self.mouse[0] - self.width / 2) / self.width,
+                       2 * (self.height / 2 - self.mouse[1]) / self.height])
+        p1 = np.array([2 * (x - self.width / 2) / self.width,
+                       2 * (self.height / 2 - y) / self.height])
+        ptb0 = np.array([p0[0], p0[1], self._project_tb(p0)])
+        ptb1 = np.array([p1[0], p1[1], self._project_tb(p1)])
+        axis = np.cross(ptb0, ptb1)
+        norm = np.linalg.norm(axis)
+        if norm < 1e-12:
+            return
+        axis = axis / norm
+        t = np.linalg.norm(ptb0 - ptb1) / (2.0 * self.tbsize)
+        t = min(max(t, -1.0), 1.0)
+        rad = 2.0 * math.asin(t)
+        # rot_axis = m_matrix * vec4(axis, 0): rotate axis by the
+        # world->view rotation (the reference's literal behavior)
+        m = self.matrix().astype(np.float64)
+        rot_axis = m[:3, :3] @ axis
+        pnt = self.pos - self.int
+        self.pos = self.int + _rotate_axis(pnt, rot_axis, rad)
+        self.up = _rotate_axis(self.up, rot_axis, rad)

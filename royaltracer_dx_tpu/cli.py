@@ -91,6 +91,9 @@ def main(argv=None):
                          "a channel name or 'all'")
     ap.add_argument("--profile", default="",
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--seed-mode", default="frame", choices=("frame", "time"),
+                    help="TEA seed time term: frame counter (deterministic)"
+                         " or wall-clock nanos (the reference's behavior)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -115,6 +118,7 @@ def main(argv=None):
         width=args.width, height=args.height, max_bounces=args.bounces,
         use_bvh=args.bvh,
         traversal=args.traversal or "auto",
+        seed_mode=args.seed_mode,
     )
     scene, camera = build_scene(args.scene)
     if args.devices > 1 and args.renderer == "restir":

@@ -107,6 +107,13 @@ class RenderConfig:
     # with the reference; False = mathematically consistent MIS.
     reference_mis_quirk: bool = True
 
+    # RNG seed source for the per-pixel TEA seeds (pixel_seed "time" term,
+    # RayGen_v6_pass1.hlsl:76-77):
+    #   "frame" = the frame counter (deterministic replays/tests; default)
+    #   "time"  = wall-clock nanoseconds cast to uint32, the reference's
+    #             camera-buffer time (Renderer.cpp:1754-1761)
+    seed_mode: str = "frame"
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height

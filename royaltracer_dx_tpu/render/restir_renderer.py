@@ -755,7 +755,13 @@ class RestirRenderer:
         cfg = self.cfg
         scene = self.scene_arrays
         cam = self._camera_arrays()
-        frame = jnp.uint32(self.frame)
+        # seed term: frame counter (deterministic) or wall-clock nanos
+        # truncated to uint32 — the reference's camera-buffer time
+        # (Renderer.cpp:1754-1761 static_cast<uint32_t>(nanos))
+        if cfg.seed_mode == "time":
+            frame = jnp.uint32(time.time_ns() & 0xFFFFFFFF)
+        else:
+            frame = jnp.uint32(self.frame)
         t0 = time.perf_counter()
         pass_times: dict = {}
         occupancy: dict = {}
