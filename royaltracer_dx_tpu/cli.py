@@ -46,6 +46,43 @@ def build_scene(name: str):
         return s, Camera(eye=(-1.5, 1.5, 3.5), center=(0.0, 1.0, 0.0))
     if name == "many_lights":
         return many_lights(), Camera(eye=(0.0, 1.1, 3.2), center=(0.0, 0.8, 0.0))
+    if name in ("sponza", "bunny", "dragon"):
+        # generated Sponza/bunny/dragon-class assets (see scene/assets.py —
+        # zero-egress stand-ins at the named workloads' scale)
+        from royaltracer_dx_tpu.scene.assets import ensure_asset
+
+        s = Scene()
+        if name == "sponza":
+            mesh = s.add_obj(ensure_asset("sponza_atrium"))
+            s.add_instance(mesh)
+            return s, Camera(eye=(-9.5, 2.2, 0.0), center=(6.0, 3.4, 0.0))
+        mesh = s.add_obj(ensure_asset(name))
+        s.add_instance(mesh)
+        lo = s.meshes[mesh].vertices.min(axis=0)
+        hi = s.meshes[mesh].vertices.max(axis=0)
+        ground_y = float(lo[1]) - 0.02
+        ext = float(max(hi[0] - lo[0], hi[2] - lo[2])) * 2.0
+        grey = s.add_material(kd=(0.55, 0.55, 0.55, 1.0))
+        light = s.add_material(ke=(18.0, 17.0, 15.0))
+        gv = np.array([[-ext, ground_y, -ext], [ext, ground_y, -ext],
+                       [ext, ground_y, ext], [-ext, ground_y, ext]],
+                      np.float32)
+        gm = s.add_mesh(gv, np.asarray([[0, 2, 1], [0, 3, 2]], np.int32),
+                        tri_material=np.asarray([grey, grey], np.int32))
+        s.add_instance(gm)
+        ly = float(hi[1]) + 0.35 * ext
+        lv = np.array([[-0.25 * ext, ly, -0.25 * ext],
+                       [0.25 * ext, ly, -0.25 * ext],
+                       [0.25 * ext, ly, 0.25 * ext],
+                       [-0.25 * ext, ly, 0.25 * ext]], np.float32)
+        lm = s.add_mesh(lv, np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+                        tri_material=np.asarray([light, light], np.int32))
+        s.add_instance(lm)
+        size = float(np.linalg.norm(hi - lo))
+        c = 0.5 * (lo + hi)
+        return s, Camera(eye=(float(c[0]) + 0.9 * size, float(c[1]) + 0.45 * size,
+                              float(c[2]) + 0.9 * size),
+                         center=(float(c[0]), float(c[1]), float(c[2])))
     if name == "menger":
         s = Scene()
         v, idx = menger_sponge(2)
@@ -59,7 +96,9 @@ def build_scene(name: str):
                         tri_material=np.asarray([light, light], np.int32))
         s.add_instance(lm)
         return s, Camera(eye=(2.2, 1.6, 2.2), center=(0.5, 0.5, 0.5))
-    raise SystemExit(f"unknown scene {name!r} (cornell | reference | menger)")
+    raise SystemExit(
+        f"unknown scene {name!r} (cornell | reference | many_lights | menger"
+        " | sponza | bunny | dragon)")
 
 
 def main(argv=None):
