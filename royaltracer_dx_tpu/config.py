@@ -114,6 +114,14 @@ class RenderConfig:
     #             camera-buffer time (Renderer.cpp:1754-1761)
     seed_mode: str = "frame"
 
+    # Storage precision of the packed inter-pixel reservoir/sample records
+    # (the gather tables of pass 2/3).  "f16" mirrors the reference's
+    # half-precision reservoir storage (-enable-16bit-types,
+    # DXRHelper.h:122-133): 52-byte rows instead of 104, f32 compute.
+    # Ids stay exact below 2^11 (checked at flatten); measured RMSE delta
+    # is published in BENCH extra.
+    record_dtype: str = "f32"
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height

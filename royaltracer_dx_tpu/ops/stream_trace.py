@@ -992,6 +992,12 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         # hundreds of clusters (grazing frusta) and serialize the sweep
         pair = (2 if size > 2048 else 4 if size > 256 else
                 8 if size > 32 else 16)
+        if occlusion:
+            # occlusion has no near-to-far payoff (any hit retires a
+            # lane), and unoccluded rays must scan their whole worklist
+            # anyway — wider rounds halve the serial round count for the
+            # same total MT work
+            pair = min(pair * 2, 16)
         lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
         wl_s = ccid[:size]
         o_s = [c[:size] for c in o]
@@ -1099,38 +1105,65 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     else:
         best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
 
-    def window_live(w0, best_t):
+    def live_mask(w0, best_t):
+        """Per-tile 'still needs blocks ranked >= w0' mask."""
         has_more = bcnt > w0
         if occlusion:
-            live = jnp.any(best_t > 0.0, axis=1)
-            return jnp.any(has_more & live)
+            return has_more & jnp.any(best_t > 0.0, axis=1)
         col = skey[:, jnp.minimum(w0, bp - 1)]
         bound = jnp.max(jnp.minimum(best_t, t_max_t[:, :, 0]), axis=1)
-        return jnp.any(has_more & (col < bound))
+        return has_more & (col < bound)
 
     # Window plan: the first N_WINDOWS-1 windows are wb blocks each, the
     # LAST window covers every remaining block — so worklists can never
     # overflow and coverage is provably complete whatever the scene size
     # (the round-2 design capped coverage at N_WINDOWS*wb blocks and
-    # signalled the truncation through a leaked-tracer attribute).  Later
-    # windows still only run under lax.cond while some tile has
-    # unresolved farther blocks.
+    # signalled the truncation through a leaked-tracer attribute).
     starts = [w0 for w0 in range(0, bp, wb)][:N_WINDOWS]
     widths = [wb] * len(starts)
     widths[-1] = bp - starts[-1]
 
+    # Tail windows fire for a handful of grazing-frustum tiles (measured:
+    # 10/4096 tiles at terrain-1M, wb=32), but a full-width pass costs as
+    # much as window 0 (~23 ms there).  So later windows run on a
+    # COMPACTED live-tile prefix of static size K — gather the live
+    # tiles' rays/bounds/worklists, sweep only them, scatter best back —
+    # and only fall back to the full-width pass when > K tiles are live.
+    K = min(tiles, max(64, tiles // 16))
+
     for win, (w0, ww) in enumerate(zip(starts, widths)):
-        def run(best, w0=w0, ww=ww):
+        def run_full(best, w0=w0, ww=ww):
             ccid, centry, ccnt = _cluster_window(
                 sbid, skey, tb, accel, ww, w0, rays)
             return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
                           occlusion)
 
         if win == 0:
-            best = run(best)
-        else:
-            best = jax.lax.cond(window_live(w0, best[0]), run,
-                                lambda b: b, best)
+            best = run_full(best)
+            continue
+
+        live = live_mask(w0, best[0])
+        nlive = jnp.sum(live.astype(jnp.int32))
+
+        def run_subset(best, w0=w0, ww=ww, live=live):
+            sel = jnp.argsort(jnp.logical_not(live))[:K]
+            alive = live[sel]
+            tb_s = tuple(x[sel] for x in tb)
+            rays_s = ([c[sel] for c in o], [c[sel] for c in d],
+                      t_min_t[sel], t_max_t[sel])
+            ccid, centry, ccnt = _cluster_window(
+                sbid[sel], skey[sel], tb_s, accel, ww, w0, rays_s)
+            ccnt = jnp.where(alive, ccnt, 0)   # finished prefix padding
+            best_s = tuple(b[sel] for b in best)
+            best_s = _sweep(best_s, ccid, centry, ccnt, rays_s, cl_flat,
+                            occlusion)
+            return tuple(b.at[sel].set(bs) for b, bs in zip(best, best_s))
+
+        best = jax.lax.cond(
+            nlive == 0,
+            lambda b: b,
+            lambda b: jax.lax.cond(nlive <= K, run_subset, run_full, b),
+            best)
 
     out = tuple(bb.reshape(n_pad)[:n] for bb in best)
     return out

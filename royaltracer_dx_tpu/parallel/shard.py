@@ -126,8 +126,9 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
             halo_extend(packed_di), halo_extend(packed_gi),
             cfg, xs=xs, ys=ys, row0=row0, band_h=bh_ext,
         )
-        cur_di = rr._pack_record(sdata, res_di, rr._DI_KEYS)
-        cur_gi = rr._pack_record(sdata, res_gi, rr._GI_KEYS)
+        rd = rr._rec_dtype(cfg)
+        cur_di = rr._pack_record(sdata, res_di, rr._DI_KEYS, rd)
+        cur_gi = rr._pack_record(sdata, res_gi, rr._GI_KEYS, rd)
         sample, shaded, out_di, out_gi = rr.pass3_spatial(
             scene, cam, frame, res_di, res_gi, sdata, cfg,
             xs=xs, ys=ys, row0=row0, band_h=bh_ext,
@@ -136,10 +137,10 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
         )
         # ping-pong: the 'last' tables update only for shaded lanes
         sh = shaded[:, None]
-        new_di = jnp.where(sh, rr._pack_record(sdata, out_di, rr._DI_KEYS),
-                           packed_di)
-        new_gi = jnp.where(sh, rr._pack_record(sdata, out_gi, rr._GI_KEYS),
-                           packed_gi)
+        new_di = jnp.where(
+            sh, rr._pack_record(sdata, out_di, rr._DI_KEYS, rd), packed_di)
+        new_gi = jnp.where(
+            sh, rr._pack_record(sdata, out_gi, rr._GI_KEYS, rd), packed_gi)
         l1 = pv.to_aos(sdata["l1"], axis=1)
         return sample, new_di, new_gi, l1
 
@@ -207,8 +208,9 @@ class ShardedRestirRenderer:
         packed0 = np.zeros((n, 26), np.float32)
         packed0[:, 12] = float(
             jnp.uint32(rr.MISS_MATERIAL_ID).astype(jnp.int32))  # mid sentinel
+        packed0 = jnp.asarray(packed0, rr._rec_dtype(cfg))
         self.packed_di, self.packed_gi = shard_pixels(
-            self.mesh, jnp.asarray(packed0), jnp.asarray(packed0))
+            self.mesh, packed0, packed0)
         fb = Framebuffer.create(n)
         self.fb = jax.tree.map(
             lambda a: shard_pixels(self.mesh, a)[0], fb)

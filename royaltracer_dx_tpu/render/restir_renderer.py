@@ -90,23 +90,32 @@ _F = jnp.float32
 _I = jnp.int32
 
 
-def _pack_record(sd: dict, res: dict, keys: tuple) -> jax.Array:
+def _pack_record(sd: dict, res: dict, keys: tuple,
+                 dtype=jnp.float32) -> jax.Array:
     """sdata planes + reservoir planes -> one [N, 26] float array.
 
     Column order: x1(3) n1(3) o(3) l1(3) mid obj | vec0(3) vec1(3) vec2(3)
     w_sum w m.  Int ids travel as float VALUES (exact for |id| < 2^24 —
     the int32 miss sentinel is -2, also exact); bitcasting them instead
-    makes small ids f32 denormals, which the TPU flushes to zero."""
+    makes small ids f32 denormals, which the TPU flushes to zero.
+
+    dtype=float16 is the reference's half-precision reservoir storage
+    (RayGen_v6 reservoirs compiled with -enable-16bit-types,
+    DXRHelper.h:122-133): rows shrink 104 -> 52 bytes, compute stays f32
+    (cfg.record_dtype).  fp16 keeps ids exact below 2^11 — asserted at
+    flatten time — and the miss sentinel (-2) exactly."""
     cols = list(sd["x1"]) + list(sd["n1"]) + list(sd["o"]) + list(sd["l1"])
     cols += [sd["mid"].astype(_F), sd["obj"].astype(_F)]
     for k in keys:
         cols += list(res[k])
     cols += [res["w_sum"], res["w"], res["m"]]
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=-1).astype(dtype)
 
 
 def _unpack_record(rows: jax.Array, keys: tuple) -> tuple[dict, dict]:
-    """[..., 26] -> (sdata planes, reservoir planes) with [...] leaves."""
+    """[..., 26] -> (sdata planes, reservoir planes) with [...] leaves.
+    Half-precision rows (record_dtype=float16) upcast on load."""
+    rows = rows.astype(_F)
     c = [rows[..., k] for k in range(rows.shape[-1])]
     sd = dict(
         x1=(c[0], c[1], c[2]), n1=(c[3], c[4], c[5]), o=(c[6], c[7], c[8]),
@@ -491,8 +500,9 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     zero = shading.astype(jnp.float32) * 0.0
 
     if packed_di_ext is None:
-        packed_di = _pack_record(sdata, cur_di, _DI_KEYS)   # [N, 26]
-        packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS)
+        rd = _rec_dtype(cfg)
+        packed_di = _pack_record(sdata, cur_di, _DI_KEYS, rd)   # [N, 26]
+        packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS, rd)
     else:
         packed_di, packed_gi = packed_di_ext, packed_gi_ext
 
@@ -691,16 +701,21 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
 # ============================== RENDERER =================================
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _pack_last(last_di: ReservoirDI, last_gi: ReservoirGI, last_sdata: SampleData):
+def _rec_dtype(cfg: RenderConfig):
+    return jnp.float16 if cfg.record_dtype == "f16" else jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _pack_last(last_di: ReservoirDI, last_gi: ReservoirGI,
+               last_sdata: SampleData, dtype=jnp.float32):
     """Persistent structs -> the two packed [N, 26] gather tables."""
     from royaltracer_dx_tpu.ops.reservoir import (
         di_to_planes, gi_to_planes, sdata_to_planes,
     )
     sd = sdata_to_planes(last_sdata)
     return (
-        _pack_record(sd, di_to_planes(last_di), _DI_KEYS),
-        _pack_record(sd, gi_to_planes(last_gi), _GI_KEYS),
+        _pack_record(sd, di_to_planes(last_di), _DI_KEYS, dtype),
+        _pack_record(sd, gi_to_planes(last_gi), _GI_KEYS, dtype),
     )
 
 
@@ -719,6 +734,14 @@ class RestirRenderer:
             cluster_group=cfg.cluster_group,
             build_stream=_wants_stream(scene, cfg),
         )
+        if cfg.record_dtype == "f16":
+            # fp16 id columns are exact only below 2^11
+            n_mat = len(scene._materials)
+            n_inst = len(scene.instance_mesh)
+            if n_mat >= 2048 or n_inst >= 2048:
+                raise ValueError(
+                    f"record_dtype='f16' needs material ({n_mat}) and "
+                    f"instance ({n_inst}) counts < 2048")
         n = cfg.num_pixels
         lanes = jnp.zeros((n, 3))
         self.last_di = ReservoirDI.zeros_like_lanes(lanes)
@@ -789,7 +812,8 @@ class RestirRenderer:
         res_gi, _ = pass1_gi_final(scene, gi_in, st, cfg)
         tick("pass1_gi", res_gi["w_sum"])
 
-        packed_di, packed_gi = _pack_last(self.last_di, self.last_gi, self.last_sdata)
+        packed_di, packed_gi = _pack_last(
+            self.last_di, self.last_gi, self.last_sdata, _rec_dtype(cfg))
         res_di, res_gi = pass2_temporal(
             scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi, cfg,
         )

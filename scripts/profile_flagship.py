@@ -23,7 +23,7 @@ def main():
     from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
 
     print("device:", jax.devices()[0])
-    scene, camera = build_scene("garage")
+    scene, camera = build_scene("reference")
     w, h = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 \
         else (1920, 1080)
     cfg = RenderConfig(width=w, height=h)

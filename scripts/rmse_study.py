@@ -1,0 +1,102 @@
+"""RMSE study (VERDICT r2 #5): converged runs at 128^2, DI and DI+GI,
+with bias/noise separation.
+
+Bias vs noise: the converged ReSTIR mean (many frames, frame-seeded) is
+an estimate of the pipeline's expectation; the quirk-free megakernel
+oracle converges to the physically-correct expectation.  RMSE between
+the two converged images mixes residual noise with systematic bias —
+separating them:
+
+  * noise floor: split the ReSTIR frames into two halves; rmse(half1,
+    half2)/sqrt(2) estimates residual per-image noise.
+  * bias: rmse of the two converged means minus the noise floors (in
+    quadrature) — what remains is systematic.
+
+Usage: python scripts/rmse_study.py [res] [oracle_frames] [restir_frames]
+Writes a JSON line per config; run alone (single tunneled chip).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import royaltracer_dx_tpu  # noqa: F401
+import royaltracer_dx_tpu.cache  # noqa: F401
+
+
+def main():
+    import jax
+
+    from royaltracer_dx_tpu.camera import Camera
+    from royaltracer_dx_tpu.config import RenderConfig
+    from royaltracer_dx_tpu.render.renderer import Renderer
+    from royaltracer_dx_tpu.render.restir_renderer import RestirRenderer
+    from royaltracer_dx_tpu.scene.procedural import cornell_box
+    from royaltracer_dx_tpu.utils.metrics import rel_mean, rmse
+
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    of = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+    rf = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+    cam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+    print(f"device {jax.devices()[0]} res {res} frames {of}/{rf}",
+          flush=True)
+
+    # oracle: quirk-free megakernel, pixel-aligned
+    t0 = time.perf_counter()
+    orc = Renderer(cornell_box(emission=18.0), cam,
+                   RenderConfig(width=res, height=res, max_bounces=5,
+                                aa_jitter=False, reference_mis_quirk=False))
+    for _ in range(of):
+        orc.render()
+    ora = orc.radiance()
+    print(f"oracle {of} frames: {time.perf_counter()-t0:.0f}s", flush=True)
+
+    for label, kw in (
+        ("di_only", dict(gi_bounces=0)),
+        ("full", dict()),
+    ):
+        t0 = time.perf_counter()
+        # DI-only ReSTIR converges to the 1-bounce oracle (test_rmse.py)
+        if label == "di_only":
+            o2 = Renderer(cornell_box(emission=18.0), cam,
+                          RenderConfig(width=res, height=res, max_bounces=1,
+                                       aa_jitter=False,
+                                       reference_mis_quirk=False))
+            for _ in range(of):
+                o2.render()
+            target = o2.radiance()
+        else:
+            target = ora
+
+        halves = []
+        for h in range(2):
+            rr = RestirRenderer(cornell_box(emission=18.0), cam,
+                                RenderConfig(width=res, height=res,
+                                             aa_jitter=False, **kw))
+            rr.frame = h * 100_003   # independent seed stream per half
+            for _ in range(rf // 2):
+                rr.render()
+            halves.append(rr.radiance())
+        img = 0.5 * (halves[0] + halves[1])
+        noise = rmse(halves[0], halves[1]) / np.sqrt(2.0)
+        total = rmse(img, target)
+        bias = float(np.sqrt(max(total**2 - 0.5 * noise**2, 0.0)))
+        out = {
+            "config": label,
+            "res": res,
+            "frames": [of, rf],
+            "rmse": round(float(total), 6),
+            "rel_mean": round(float(rel_mean(img, target)), 6),
+            "noise_half_rmse": round(float(noise), 6),
+            "bias_estimate": round(bias, 6),
+            "secs": round(time.perf_counter() - t0, 1),
+        }
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -239,3 +239,27 @@ def test_ris_reservoir_estimator_unbiased():
     mean = est.mean()
     stderr = est.std() / np.sqrt(n)
     assert abs(mean - 1.0 / 3.0) < 4 * stderr + 1e-3, (mean, stderr)
+
+
+def test_record_dtype_f16_close_to_f32():
+    """Half-precision packed reservoir records (the reference's
+    -enable-16bit-types reservoir storage) stay close to the f32 path:
+    same hit structure, small radiance delta after several frames."""
+    from royaltracer_dx_tpu.scene.procedural import cornell_box
+
+    def run(rd):
+        cam = Camera(eye=(0.5, 0.6, 2.2), center=(0.5, 0.5, 0.0))
+        cfg = RenderConfig(width=32, height=32, gi_bounces=1,
+                           traversal="brute", aa_jitter=False,
+                           record_dtype=rd)
+        r = RestirRenderer(cornell_box(emission=18.0), cam, cfg)
+        for _ in range(6):
+            r.render()
+        return r.radiance()
+
+    a = run("f32")
+    b = run("f16")
+    assert np.isfinite(b).all()
+    num = float(np.sqrt(np.mean((a - b) ** 2)))
+    den = float(np.sqrt(np.mean(a ** 2)) + 1e-9)
+    assert num / den < 0.08, num / den   # storage-precision noise only
