@@ -927,6 +927,14 @@ def _mt_planes(o, d, p, t_min, t_max):
     return jnp.where(ok, t, INF), u, v
 
 
+# clusters per sweep round by workload-sorted segment tier (full width,
+# >256 tiles, >32, tail).  pair*G is the MT lane width; wider rounds cut
+# the serial round count at the cost of up to pair-1 clusters of overshoot
+# per tile.  Module-level so perf scripts can sweep it (clear jit caches
+# after changing).
+_PAIR_SCHEDULE = (2, 4, 8, 16)
+
+
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
@@ -990,8 +998,9 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         lower = sizes[si + 1] if si + 1 < len(sizes) else 0
         # wider rounds as the live prefix shrinks: the tail tiles hold
         # hundreds of clusters (grazing frusta) and serialize the sweep
-        pair = (2 if size > 2048 else 4 if size > 256 else
-                8 if size > 32 else 16)
+        tier = (0 if size > 2048 else 1 if size > 256 else
+                2 if size > 32 else 3)
+        pair = _PAIR_SCHEDULE[tier]
         if occlusion:
             # occlusion has no near-to-far payoff (any hit retires a
             # lane), and unoccluded rays must scan their whole worklist

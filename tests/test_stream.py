@@ -143,3 +143,25 @@ def test_renderer_stream_matches_brute():
     a = run("brute")
     b = run("stream")
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_compacted_tail_window_subset_path():
+    """Enough tiles that the tail-window live set compacts to a K-tile
+    prefix (K = tiles//16 >= 64): the gather/sweep/scatter subset path
+    must reproduce brute exactly, closest and any-hit."""
+    tris = random_soup(4 * st.S * st.G)          # 4+ blocks
+    accel = st.build_stream_accel(tris)
+    assert accel.num_blocks >= 4
+    n = 128 * st.TILE                            # 128 tiles > K floor (64)
+    o, d = random_rays(n)
+    hb = closest_hit_brute(o, d, tris)
+    hs = st.closest_hit_stream_xla(o, d, accel, wb=1)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(hs.tri)[np.asarray(hb.t) < 1e29],
+                          np.asarray(hb.tri)[np.asarray(hb.t) < 1e29])
+    t_min = jnp.full((n,), 1e-4)
+    t_max = jnp.full((n,), 3.0)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max, wb=1)
+    assert np.array_equal(np.asarray(os_), np.asarray(ob))
