@@ -15,6 +15,24 @@ What the harness established (round 2, 32x32..48x48 cornell):
     OVER-counts bounce-order >= 2 direct light by ~70%% (order-2 energy
     0.111 with the quirk vs 0.065 corrected).  RMSE oracles must disable
     it; parity renders of the reference scene keep it.
+
+Round-3 bias decomposition (32^2 cornell, converged; scripts/rmse_study.py
+re-measures at 128^2 on device).  The round-2 "1.7%% deficit" of the full
+pipeline vs the mb5 oracle splits into two explained parts:
+  * ~0.8%% transport truncation: the oracle ladder is mb3/4/5/6 = 96.6 /
+    98.4 / 99.3 / 99.7%% of mb8, and gi_bounces=3 carries less transport
+    than mb5 (restir gi2/3/4/5 = 96.0 / 97.6 / 98.3 / 98.9%% of mb8 —
+    the gap closes with more bounces, so it is support, not bias).
+  * ~1.0%% reuse-correlation bias with the REFERENCE'S OWN structure:
+    converged rel_mean vs mb5 is 0.992 with no reuse, 0.991 with
+    temporal only, 0.995 with spatial only, but 0.982 with both —
+    each stage alone is energy-neutral; feeding spatially-merged
+    reservoirs back into the next frame's temporal pass (exactly what
+    RayGen_v6_pass3's last-buffer write does) correlates the pairwise-MIS
+    inputs.  Not an implementation bug; documented algorithmic behavior.
+  * NOT the cause (measured): w_sum_threshold (+0.1%% when lifted),
+    j_threshold (clamp removal LOWERS energy: fireflies guard),
+    temporal_r_threshold, M caps (uncapping slows convergence instead).
 """
 
 import numpy as np
