@@ -933,6 +933,9 @@ def _mt_planes(o, d, p, t_min, t_max):
 # per tile.  Module-level so perf scripts can sweep it (clear jit caches
 # after changing).
 _PAIR_SCHEDULE = (2, 4, 8, 16)
+# workload-sorted segment shrink factor (4 = coarse, 2 = finer prefixes:
+# less within-segment imbalance, more loop instances)
+_SEGMENT_FACTOR = 4
 
 
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
@@ -993,7 +996,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         return [r3[:, :, kk, :].reshape(size, 1, pr * G) for kk in range(9)]
 
     k = jnp.int32(0)
-    sizes = _segment_sizes(tiles)
+    sizes = _segment_sizes(tiles, _SEGMENT_FACTOR)
     for si, size in enumerate(sizes):
         lower = sizes[si + 1] if si + 1 < len(sizes) else 0
         # wider rounds as the live prefix shrinks: the tail tiles hold

@@ -93,6 +93,47 @@ def main():
                                 wb=32, presort=True)
     say(f"occfrac {float(jnp.mean(occ.astype(jnp.float32))):.3f}")
 
+    # segment-cost simulation from the REAL per-ray-culled worklist: for
+    # each candidate segmentation factor and pair schedule, rounds(seg) =
+    # ceil(max ccnt over the tiles RETIRED in that segment / pair), cost
+    # ~ sum(size * rounds * pair) (MT-test units, 64*64 each)
+    tmin = jnp.broadcast_to(jnp.float32(1e-4), (n,))
+    tmax = jnp.broadcast_to(jnp.float32(1e4), (n,))
+    sbid, skey, bcnt, tb = st._block_sort(origins, dirs, tmin, tmax, accel)
+    tiles = n // st.TILE
+    o = [origins[:, c].reshape(tiles, st.TILE)[..., None] for c in range(3)]
+    d = [dirs[:, c].reshape(tiles, st.TILE)[..., None] for c in range(3)]
+    rays = (o, d, tmin.reshape(tiles, st.TILE)[..., None],
+            tmax.reshape(tiles, st.TILE)[..., None])
+    _, _, ccnt = st._cluster_window(sbid, skey, tb, accel, 32, 0, rays)
+    cc = np.sort(np.asarray(ccnt))[::-1]      # workload-sorted
+    say(f"per-ray-culled clusters/tile mean {cc.mean():.1f} "
+        f"p50 {np.percentile(cc, 50):.0f} p90 {np.percentile(cc, 90):.0f} "
+        f"p99 {np.percentile(cc, 99):.0f} max {cc.max()}")
+
+    def sim(factor, sched):
+        sizes = [tiles]
+        while sizes[-1] > factor:
+            sizes.append(max(1, sizes[-1] // factor))
+        cost, k = 0, 0
+        for si, size in enumerate(sizes):
+            lower = sizes[si + 1] if si + 1 < len(sizes) else 0
+            tier = (0 if size > 2048 else 1 if size > 256 else
+                    2 if size > 32 else 3)
+            pair = sched[min(tier, len(sched) - 1)]
+            # rounds until every tile in [lower, size) is done
+            need = int(cc[lower:size].max(initial=0))
+            rounds = max(0, -(-max(0, need - k) // pair))
+            cost += size * rounds * pair
+            k += rounds * pair
+        return cost * st.TILE * st.G      # MT tests
+
+    for factor in (4, 2):
+        for sched in ((2, 4, 8, 16), (4, 8, 16, 16), (8, 16, 16, 16)):
+            say(f"sim factor={factor} sched={sched}: "
+                f"{sim(factor, sched)/1e6:.0f}M tests")
+    say(f"ideal (sum ccnt): {cc.sum()*st.TILE*st.G/1e6:.0f}M tests")
+
     # parity spot-check vs brute (compacted-tail correctness on TPU)
     from royaltracer_dx_tpu.ops.intersect import closest_hit_brute
     sub = slice(0, 32768)
