@@ -494,6 +494,34 @@ def visibility_check_p(scene, x1, n1, direction, dist, cfg) -> jax.Array:
     return jnp.where(occ, 0.0, 1.0)
 
 
+def visibility_batch_p(scene, queries, cfg) -> list:
+    """ONE shadow trace for several planar visibility queries.
+
+    queries: list of (x1, n1, x_to) planar vec tuples, all [N].  Each
+    query's direction/dist math is exactly visibility_check_p's, and the
+    trace is per-ray exact, so results are bit-identical to k separate
+    checks — but the traversal pays its fixed costs (presort, block
+    sort, windows) ONCE for the k*N batch instead of k times.  Returns
+    the k V arrays ([N] each, in {0,1})."""
+    kq = len(queries)
+    if kq == 1:
+        x1, n1, x_to = queries[0]
+        d = pv.sub(x_to, x1)
+        return [visibility_check_p(scene, x1, n1, pv.normalize(d),
+                                   pv.length(d), cfg)]
+    n = queries[0][0][0].shape[0]
+
+    def cat(ps):
+        return tuple(jnp.concatenate([p[c] for p in ps]) for c in range(3))
+
+    x1 = cat([q[0] for q in queries])
+    n1 = cat([q[1] for q in queries])
+    x_to = cat([q[2] for q in queries])
+    d = pv.sub(x_to, x1)
+    v = visibility_check_p(scene, x1, n1, pv.normalize(d), pv.length(d), cfg)
+    return [v[i * n:(i + 1) * n] for i in range(kq)]
+
+
 def reconnect_di_p(x1, n1, x2, n2, l2, outgoing, mat):
     """Planar ReconnectDI (Sampler_v6.hlsl:106-131).  Returns a planar vec."""
     d = pv.sub(x2, x1)

@@ -340,14 +340,22 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
     mi_c = jnp.where(last_n2_zero, 1.0, mi_c)
     mi_t = jnp.where(last_n2_zero, 0.0, mi_t)
 
+    # the two visibility-bearing p-hats of this pass (DI last + GI last)
+    # share ONE batched shadow trace (bit-identical results; the
+    # traversal's fixed costs are paid once for the 2N batch)
+    vis_t, vis_t_gi = restir.visibility_batch_p(
+        scene,
+        [(sdata["x1"], sdata["n1"], l_di["x2"]),
+         (sdata["x1"], sdata["n1"], l_gi["xn"])], cfg)
+
     w_c = mi_c * restir.get_p_hat_di_p(
         scene, sdata["x1"], sdata["n1"], cur_di["x2"], cur_di["n2"],
         cur_di["l2"], sdata["o"], mat, False, cfg,
     ) * cur_di["w"]
     w_t = mi_t * restir.get_p_hat_di_p(
         scene, sdata["x1"], sdata["n1"], l_di["x2"], l_di["n2"], l_di["l2"],
-        sdata["o"], mat, True, cfg,
-    ) * l_di["w"]
+        sdata["o"], mat, False, cfg,
+    ) * vis_t * l_di["w"]
 
     merged = dict(
         cur_di,
@@ -384,8 +392,8 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
                                 cur_gi["e3"], sdata["o"], mat, False, cfg)
     w_c_gi = mi_c_gi * pv.length(f_c) * cur_gi["w"]
     f_t = restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], l_gi["xn"],
-                                l_gi["e3"], sdata["o"], mat, True, cfg)
-    w_t_gi = mi_t_gi * pv.length(f_t) * l_gi["w"]
+                                l_gi["e3"], sdata["o"], mat, False, cfg)
+    w_t_gi = mi_t_gi * pv.length(f_t) * vis_t_gi * l_gi["w"]
 
     merged_gi = dict(
         cur_gi,
@@ -535,11 +543,16 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
                                 False, cfg)
     c_m_num = c_m_min * p_c
     mi_c = c_m_min / jnp.maximum(m_sum, 1e-9)
+    # the k candidate p_hat_from visibilities share ONE batched trace
+    vis_from = restir.visibility_batch_p(
+        scene,
+        [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"]) for v in range(k)],
+        cfg)
     for v in range(k):
         p_from = restir.get_p_hat_di_p(
             scene, nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"], cur_di["n2"],
-            cur_di["l2"], nb_sd[v]["o"], mat, True, cfg,
-        )
+            cur_di["l2"], nb_sd[v]["o"], mat, False, cfg,
+        ) * vis_from[v]
         n_m_min = jnp.minimum(cap, nb_di[v]["m"])
         m_den = c_m_num + c_m_max * p_from
         ratio = jnp.where(
@@ -620,14 +633,18 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     )
     cg_num = cg_m_min * p_c_gi
     mi_c_gi = cg_m_min / jnp.maximum(m_sum_g, 1e-9)
+    vis_from_g = restir.visibility_batch_p(
+        scene,
+        [(nb_sd_g[v]["x1"], nb_sd_g[v]["n1"], cur_gi["xn"])
+         for v in range(k)], cfg)
     for v in range(k):
         nbs = nb_sd_g[v]
         j_v = restir.jacobian_reconnection_p(
             sdata["x1"], nbs["x1"], cur_gi["xn"], cur_gi["nn"])
         p_from = pv.length(
             restir.get_p_hat_gi_p(scene, nbs["x1"], nbs["n1"], cur_gi["xn"],
-                                  cur_gi["e3"], nbs["o"], mat, True, cfg)
-        ) * j_v
+                                  cur_gi["e3"], nbs["o"], mat, False, cfg)
+        ) * vis_from_g[v] * j_v
         m_den = cg_num + cg_m_max * p_from
         ratio = jnp.where(
             m_den > 0.0,
@@ -645,6 +662,9 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
         w_sum=jnp.where(shading, w_c_gi, cur_gi["w_sum"]),
     )
 
+    vis_fs = restir.visibility_batch_p(
+        scene,
+        [(sdata["x1"], sdata["n1"], nb_gi[v]["xn"]) for v in range(k)], cfg)
     for v in range(k):
         nb, nbs = nb_gi[v], nb_sd_g[v]
         j_mis = restir.jacobian_reconnection_p(
@@ -665,8 +685,8 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
             nbs["x1"], sdata["x1"], nb["xn"], nb["nn"])
         f_s = pv.length(
             restir.get_p_hat_gi_p(scene, sdata["x1"], sdata["n1"], nb["xn"],
-                                  nb["e3"], sdata["o"], mat, True, cfg)
-        )
+                                  nb["e3"], sdata["o"], mat, False, cfg)
+        ) * vis_fs[v]
         w_s = mi_s * f_s * nb["w"] * j_shift
         ok = shading & gi_ok[v] & (j_shift != 0.0)
         out_gi, _, seed = update_reservoir_p(
