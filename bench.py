@@ -14,9 +14,39 @@ megakernel oracle — BASELINE.json accuracy bar).
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
+
+# Watchdog: the tunneled chip can wedge indefinitely (observed: a stale
+# remote lease after a client dies mid-dispatch makes every device call
+# hang in C++ where Python signals never fire).  A daemon thread emits
+# the JSON line with whatever was measured so far and hard-exits, so the
+# driver always gets a record.
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+_partial: dict = {}
+
+
+def _arm_watchdog():
+    def fire():
+        _partial.setdefault("extra", {})["watchdog"] = (
+            f"bench exceeded {_WATCHDOG_S:.0f}s — tunneled device likely "
+            "wedged; partial results emitted")
+        print(json.dumps({
+            "metric": _partial.get("metric", "Mrays/sec/chip closest-hit, "
+                                   "1.0M-tri terrain (stream traversal)"),
+            "value": _partial.get("value", 0.0),
+            "unit": "Mrays/s",
+            "vs_baseline": _partial.get("vs_baseline", 0.0),
+            "extra": _partial.get("extra", {}),
+        }), flush=True)
+        os._exit(3)
+    t = threading.Timer(_WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _sync(x):
@@ -45,6 +75,7 @@ def _timed(f, *args, reps=3, label=None):
 
 
 def main():
+    wd = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +88,7 @@ def main():
     from royaltracer_dx_tpu.utils.rng import pixel_seed
 
     extra: dict = {"device": str(jax.devices()[0])}
+    _partial["extra"] = extra
 
     # ---- config 3 headline: 1M-triangle closest-hit (stream traversal)
     v, idx = heightfield(708)
@@ -78,6 +110,8 @@ def main():
         lambda o, d: st.closest_hit_stream_xla(o, d, accel).t)
     dt, t_hit = _timed(f_closest, origins, dirs, label="terrain_closest")
     mrays_closest = n / dt / 1e6
+    _partial["value"] = round(mrays_closest, 2)
+    _partial["vs_baseline"] = round(mrays_closest / 100.0, 4)
     assert bool(np.isfinite(np.asarray(t_hit)).any())
 
     lp = jnp.asarray([1.5, 4.0, 0.5])
@@ -296,6 +330,7 @@ def main():
         extra["rmse_error"] = repr(e)[:200]
 
     extra["reps_ms"] = _ALL_REPS
+    wd.cancel()
     print(json.dumps({
         "metric": "Mrays/sec/chip closest-hit, 1.0M-tri terrain, 512x512 "
                   "coherent rays (stream traversal)",
