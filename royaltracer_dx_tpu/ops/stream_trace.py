@@ -811,13 +811,40 @@ def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int,
             rays, boxes.reshape(tiles, wbw, 6, S))
         cok = cok & rpass
         centry = jnp.maximum(centry, rentry)
-    ckey = jnp.where(cok, centry, INF)
     cid = (wl[:, :, None] * S
            + jnp.arange(S, dtype=jnp.int32)[None, None, :]
            ).reshape(tiles, wbw * S)
-    centry_s, ccid = jax.lax.sort((ckey, cid), dimension=1, num_keys=1)
+    ckey = jnp.where(cok, centry, INF)
+    centry_s, ccid = _packed_sort(ckey, cid, accel.num_blocks * S)
     ccnt = jnp.sum(cok.astype(jnp.int32), axis=1)
     return ccid, centry_s, ccnt
+
+
+def _packed_sort(ckey, cid, n_ids: int):
+    """Near-to-far candidate ordering as ONE single-operand lane sort.
+
+    A two-operand ``lax.sort((key f32, id i32))`` runs every bitonic
+    compare-exchange pass on both arrays.  Keys here are nonnegative slab
+    entries (IEEE order == int order when bitcast), and ids need only
+    ``ceil(log2(n_ids))`` bits, so key and id pack into one int32: clear
+    the key's low ``bits`` mantissa bits, OR the id in, sort the single
+    int32 array, unmask.  Entry keys lose ``bits`` of mantissa, ROUNDED
+    DOWN — they only drive near-to-far ordering and the sweep's
+    early-exit bound ``nxt < best_t``, where rounding down is
+    conservative (never exits early), so the trace stays exact.  INF
+    padding survives: clearing low bits of 0x7f800000 is itself, so dead
+    lanes still sort last and unpack to INF.  Falls back to the
+    two-operand sort when ids need > 20 bits (keys would drop to < 3
+    mantissa bits)."""
+    bits = max(1, (max(2, n_ids) - 1).bit_length())
+    if bits > 20:
+        return jax.lax.sort((ckey, cid), dimension=1, num_keys=1)
+    mask = (1 << bits) - 1
+    ki = jax.lax.bitcast_convert_type(jnp.maximum(ckey, 0.0), jnp.int32)
+    packed = (ki & ~mask) | cid
+    s = jax.lax.sort(packed, dimension=1)
+    centry_s = jax.lax.bitcast_convert_type(s & ~mask, jnp.float32)
+    return centry_s, s & mask
 
 
 def _per_ray_box_cull(rays, boxes):
@@ -934,8 +961,16 @@ def _mt_planes(o, d, p, t_min, t_max):
 # after changing).
 _PAIR_SCHEDULE = (2, 4, 8, 16)
 # workload-sorted segment shrink factor (4 = coarse, 2 = finer prefixes:
-# less within-segment imbalance, more loop instances)
-_SEGMENT_FACTOR = 4
+# less within-segment imbalance, more loop instances).  Measured on the
+# real terrain-1M worklists (scripts/profile_r3c.py cost sim): factor 2 =
+# 327M MT tests vs factor 4 = 488M at the (2,4,8,16) schedule (ideal =
+# sum-of-worklists 215M) — the finer prefixes cut round-quantization
+# waste, and the measured sweep fell 21.6 -> 15.6 ms at terrain-1M.
+# (A prime+re-cull variant — sweep the 4 nearest clusters, tighten t_max,
+# re-cull — was measured a wash: the sweep's `pending` bound already
+# early-terminates on best-t, and the second cull pass costs a full
+# window, +6.6 ms for a 12.8 -> 10.5 mean worklist shrink.  Reverted.)
+_SEGMENT_FACTOR = 2
 
 
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
@@ -1010,6 +1045,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
             # anyway — wider rounds halve the serial round count for the
             # same total MT work
             pair = min(pair * 2, 16)
+        pair = max(1, min(pair, wcl))   # narrow worklists (prime pass)
         lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
         wl_s = ccid[:size]
         o_s = [c[:size] for c in o]
@@ -1231,10 +1267,36 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
 
 def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
                        t_min, t_max, wb: int = 64,
-                       presort: bool = False) -> jax.Array:
+                       presort: bool = False,
+                       reverse: bool = False) -> jax.Array:
     """Occlusion query via the pure-XLA stream traversal.
 
-    "Occluded" is encoded as best_t forced to 0 during the sweep."""
+    "Occluded" is encoded as best_t forced to 0 during the sweep.
+
+    ``reverse=True`` traces each segment from its FAR endpoint toward the
+    origin — segment occlusion is symmetric, so the result is identical
+    (same triangles, same epsilon margins at both ends).  For NEE/shadow
+    batches the far endpoints are light samples clustered on a few
+    emitters, so reversed tiles share a near-common origin and the
+    interval frusta collapse to tight cones: block/cluster culling cuts
+    the worklists far harder than origin-side tiles whose origins spread
+    across the whole receiver geometry (ShadowRay.hlsl's any-hit fast
+    path, rebuilt around the tile-frustum culling model instead of
+    per-ray early-out hardware).  Combine with ``presort=True`` so tiles
+    group by direction around the shared origin."""
+    if reverse:
+        n = origins.shape[0]
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        # masked rays (t_max <= t_min) must stay masked after reversal:
+        # span < 0 keeps far < near, and the liveness mask below returns
+        # False for them either way
+        span = t_max - t_min
+        far = origins + dirs * t_max[:, None]
+        occ = any_hit_stream_xla(far, -dirs, accel,
+                                 jnp.zeros_like(span), span, wb,
+                                 presort=presort, reverse=False)
+        return occ & (span > 0.0)
     if presort:
         n = origins.shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))

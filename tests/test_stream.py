@@ -6,6 +6,7 @@ interpret mode on CPU and is covered by a smaller case (it is the
 deployment design; see the module docstring for the environment note).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -71,6 +72,44 @@ def test_anyhit_parity_with_masked_rays():
     ob = any_hit_brute(o, d, tris, t_min, t_max)
     os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max)
     assert np.array_equal(np.asarray(os_), np.asarray(ob))
+
+
+def test_anyhit_reversed_segment_parity():
+    """reverse=True traces each segment from the far endpoint (the
+    shadow-batch fast path); segment occlusion is symmetric, so results
+    must match the forward trace exactly, including masked lanes."""
+    tris = random_soup(3000)
+    accel = st.build_stream_accel(tris)
+    o, d = random_rays(257)
+    t_min = jnp.full((257,), 1e-3)
+    t_max = jnp.where(jnp.arange(257) % 2 == 0, 2.0, -1.0)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    for presort in (False, True):
+        os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max,
+                                    reverse=True, presort=presort)
+        assert np.array_equal(np.asarray(os_), np.asarray(ob))
+
+
+def test_packed_sort_matches_two_operand():
+    """The single-operand packed candidate sort orders ids exactly like
+    the two-operand (key, id) sort, and its down-rounded keys never
+    exceed the true entries (the sweep's early-exit stays conservative)."""
+    rng = np.random.default_rng(3)
+    key = jnp.asarray(
+        np.where(rng.random((16, 64)) < 0.3, np.inf,
+                 rng.uniform(0.0, 50.0, (16, 64))).astype(np.float32))
+    cid = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None, :],
+                           key.shape)
+    ks, ids = st._packed_sort(key, cid, 64)
+    k2, id2 = jax.lax.sort((key, cid), dimension=1, num_keys=1)
+    # same multiset of ids per row, nondecreasing packed keys, keys
+    # rounded down but only within the masked mantissa bits
+    assert np.array_equal(np.sort(np.asarray(ids)), np.sort(np.asarray(id2)))
+    ka = np.asarray(ks)
+    assert (np.diff(np.minimum(ka, 1e30), axis=1) >= 0).all()
+    orig = np.asarray(key)[np.arange(16)[:, None], np.asarray(ids)]
+    assert (ka <= orig).all()
+    assert np.all(np.isinf(ka) == np.isinf(orig))
 
 
 def test_refit_tracks_moved_geometry():
