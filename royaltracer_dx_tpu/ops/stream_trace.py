@@ -973,7 +973,8 @@ _PAIR_SCHEDULE = (2, 4, 8, 16)
 _SEGMENT_FACTOR = 2
 
 
-def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
+def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
+           find: bool = False):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
     per round every live tile gathers ``pair`` cluster rows and runs dense
@@ -983,7 +984,13 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
     worklists of hundreds of clusters — grazing-angle frusta) widen to
     pair=4/8 so the tail is not hundreds of serial tiny rounds.  ``rays``
     = (o, d, t_min_t, t_max_t) in [tiles, TILE(, 1)] layout; ``best`` =
-    (t, slot, u, v)."""
+    (t, slot, u, v), or just (t,) in ``find`` mode.
+
+    ``find=True`` runs min-only rounds: the carry is best-t alone and the
+    winning slot/u/v extraction is skipped — measured 1.158 -> ~0.5 ms
+    per full-width round at terrain-1M (the argmin + one-hot u/v
+    epilogue is ~55% of a closest round).  `_sweep_closest` pairs it
+    with a short identify pass."""
     o, d, t_min_t, t_max_t = rays
     tiles = ccnt.shape[0]
     perm = jnp.argsort(-ccnt)
@@ -1059,7 +1066,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
 
         def body(st, size=size, wl_s=wl_s, o_s=o_s, d_s=d_s,
                  tmin_s=tmin_s, tmax_s=tmax_s, pair=pair, lane=lane):
-            kk, best_t, best_tri, best_u, best_v = st
+            kk, best_t = st[0], st[1]
             # pair cluster ids in ONE slice (start clamps so the slice
             # stays in range; trailing lanes are masked by in_cnt below)
             cids = jax.lax.dynamic_slice_in_dim(
@@ -1078,8 +1085,11 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
             if occlusion:
                 hit = jnp.any(t < INF, axis=-1)
                 best_t = jnp.where(hit, 0.0, best_t)
-                return (kk + pair, best_t, best_tri, best_u, best_v)
+                return (kk + pair, best_t) + st[2:]
             t_c = jnp.min(t, axis=-1)
+            if find:
+                return (kk + pair, jnp.minimum(best_t, t_c))
+            best_tri, best_u, best_v = st[2], st[3], st[4]
             idx = jnp.argmin(t, axis=-1)
             hot = idx[..., None] == lane
             u_c = jnp.sum(jnp.where(hot, u, 0.0), axis=-1)
@@ -1107,6 +1117,40 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool):
         )
 
     return tuple(bb[inv_perm] for bb in best)
+
+
+def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
+    """Closest-hit sweep as FIND + IDENTIFY (r3f measurement: the argmin
+    + one-hot u/v epilogue is ~55% of a full round's cost, but the winner
+    only has to be identified ONCE).
+
+    Find: min-only rounds over the whole worklist give every ray its
+    best-t.  Identify: re-sweep with full epilogue, but only over the
+    worklist prefix whose entries precede the tile's farthest improved
+    bound (centry is sorted, so the filter is just a prefix count), with
+    every ray's t_max pinned just above its found t.
+
+    The bump slack is RELATIVE (2^-13 ≈ 1.2e-4), not a couple of ulps:
+    find and identify are different `_mt_planes` call sites in the same
+    program, and XLA may fuse/contract them differently, so identify's
+    hit t can drift a few ulps from find's (observed on the 8-device CPU
+    mesh: a 2-ulp bump rejected 3/257 true hits).  Exactness survives
+    the slack through the strict-min carry: every candidate admitted by
+    the loosened cut is tested and the min picks the true winner, and
+    every cluster holding an admitted candidate is inside the prefix
+    (entry ≤ t < bump ≤ bound).  Rays that did not improve in this
+    window sweep with t_max 0, preserving their carried best (the find
+    pass proved nothing in this window beats it)."""
+    o, d, t_min_t, t_max_t = rays
+    bt = _sweep((best[0],), ccid, centry, ccnt, rays, cl_flat,
+                False, find=True)[0]
+    improved = bt < best[0]
+    bump = jnp.where(improved, bt * (1.0 + 2.0 ** -13) + 1e-30, 0.0)
+    rays_id = (o, d, t_min_t, jnp.minimum(t_max_t, bump[..., None]))
+    bound = jnp.max(jnp.where(improved, bump, -_BIG), axis=1)  # [tiles]
+    ccnt_id = jnp.sum((centry <= bound[:, None]) & (centry < INF), axis=1)
+    return _sweep(best, ccid, centry, jnp.minimum(ccnt_id, ccnt),
+                  rays_id, cl_flat, False)
 
 
 N_WINDOWS = 4
@@ -1183,8 +1227,10 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
         def run_full(best, w0=w0, ww=ww):
             ccid, centry, ccnt = _cluster_window(
                 sbid, skey, tb, accel, ww, w0, rays)
-            return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
-                          occlusion)
+            if occlusion:
+                return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
+                              True)
+            return _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat)
 
         if win == 0:
             best = run_full(best)
@@ -1203,8 +1249,12 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
                 sbid[sel], skey[sel], tb_s, accel, ww, w0, rays_s)
             ccnt = jnp.where(alive, ccnt, 0)   # finished prefix padding
             best_s = tuple(b[sel] for b in best)
-            best_s = _sweep(best_s, ccid, centry, ccnt, rays_s, cl_flat,
-                            occlusion)
+            if occlusion:
+                best_s = _sweep(best_s, ccid, centry, ccnt, rays_s,
+                                cl_flat, True)
+            else:
+                best_s = _sweep_closest(best_s, ccid, centry, ccnt,
+                                        rays_s, cl_flat)
             return tuple(b.at[sel].set(bs) for b, bs in zip(best, best_s))
 
         best = jax.lax.cond(
