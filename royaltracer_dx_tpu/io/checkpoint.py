@@ -42,8 +42,10 @@ def save_renderer_state(path: str, renderer) -> None:
     }
     state.update(_flatten("fb.", renderer.fb))
     if hasattr(renderer, "packed_di"):  # ShardedRestirRenderer
-        state["packed_di"] = np.asarray(renderer.packed_di)
-        state["packed_gi"] = np.asarray(renderer.packed_gi)
+        for i, (sdi, sgi) in enumerate(zip(renderer.packed_di,
+                                           renderer.packed_gi)):
+            state[f"packed_di.{i}"] = np.asarray(sdi)
+            state[f"packed_gi.{i}"] = np.asarray(sgi)
         state["l1"] = np.asarray(renderer.l1)
         state["prev_proj"] = np.asarray(renderer._prev_proj)
     if hasattr(renderer, "last_di"):
@@ -65,7 +67,7 @@ def load_renderer_state(path: str, renderer) -> None:
     data = np.load(path)
     want = _format_of(renderer)
     have = str(data["format"]) if "format" in data else (
-        "sharded_restir" if "packed_di" in data
+        "sharded_restir" if ("packed_di" in data or "packed_di.0" in data)
         else "restir" if "last_di.x2" in data else "megakernel")
     if want != have:
         raise ValueError(
@@ -81,13 +83,26 @@ def load_renderer_state(path: str, renderer) -> None:
     renderer.fb = renderer.fb.replace(
         accum=jnp.asarray(data["fb.accum"]), count=jnp.asarray(data["fb.count"])
     )
-    if hasattr(renderer, "packed_di") and "packed_di" in data:
+    if hasattr(renderer, "packed_di") and (
+            "packed_di" in data or "packed_di.0" in data):
         # ShardedRestirRenderer: re-shard the restored state onto the mesh
         from royaltracer_dx_tpu.parallel.shard import replicate, shard_pixels
+        from royaltracer_dx_tpu.render.restir_renderer import (
+            _DI_KEYS, _GI_KEYS, _shards_from_legacy,
+        )
 
+        if "packed_di.0" in data:
+            pdi = tuple(jnp.asarray(data[f"packed_di.{i}"])
+                        for i in range(3))
+            pgi = tuple(jnp.asarray(data[f"packed_gi.{i}"])
+                        for i in range(3))
+        else:   # round-2/3 legacy monolithic [N, 26] tables
+            pdi = _shards_from_legacy(jnp.asarray(data["packed_di"]),
+                                      _DI_KEYS)
+            pgi = _shards_from_legacy(jnp.asarray(data["packed_gi"]),
+                                      _GI_KEYS)
         renderer.packed_di, renderer.packed_gi, renderer.l1 = shard_pixels(
-            renderer.mesh, jnp.asarray(data["packed_di"]),
-            jnp.asarray(data["packed_gi"]), jnp.asarray(data["l1"]))
+            renderer.mesh, pdi, pgi, jnp.asarray(data["l1"]))
         renderer.fb = renderer.fb.replace(
             accum=shard_pixels(renderer.mesh, renderer.fb.accum)[0],
             count=shard_pixels(renderer.mesh, renderer.fb.count)[0])

@@ -1155,6 +1155,62 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
 
 N_WINDOWS = 4
 
+# single-level flat path below this many clusters (<= 8k tris): the
+# block machinery degenerates at 1-4 blocks, and profile_r3h measured
+# the windowed path at 81 ns/ray on the 2.2k-tri garage where brute
+# costs 36 — the flat path's one exact per-ray cull + one plain sweep
+# tests ~640 tris/ray there (worklists mean 8.4 clusters/tile)
+_FLAT_MAX_CLUSTERS = 128
+
+
+def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
+                occlusion: bool):
+    """Small-scene trace: no block level, no windows, no find+identify.
+
+    One exact per-ray slab against ALL cluster boxes (C <= 128 makes the
+    [tiles, TILE, C] cull affordable), one packed near-to-far sort, one
+    shrinking-prefix sweep over the whole worklist.  The find+identify
+    split is skipped deliberately: at small scenes the identify prefix
+    barely shrinks (garage: 7.8 of 8.4 clusters useful), so the split
+    costs more than the epilogue it saves."""
+    n = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        t_min = jnp.pad(t_min, (0, pad))
+        t_max = jnp.pad(t_max, (0, pad), constant_values=-1.0)
+    tiles = n_pad // TILE
+    b = accel.num_blocks
+    c_all = b * S
+    o = [origins[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    d = [dirs[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    t_min_t = t_min.reshape(tiles, TILE)[..., None]
+    t_max_t = t_max.reshape(tiles, TILE)[..., None]
+    rays = (o, d, t_min_t, t_max_t)
+
+    boxes = jnp.broadcast_to(accel.blk_boxes[None, :, :, :S],
+                             (tiles, b, 6, S))
+    rpass, rentry = _per_ray_box_cull(rays, boxes)        # [tiles, b*S]
+    cid = jnp.broadcast_to(jnp.arange(c_all, dtype=jnp.int32)[None, :],
+                           (tiles, c_all))
+    ckey = jnp.where(rpass, rentry, INF)
+    centry, ccid = _packed_sort(ckey, cid, c_all)
+    ccnt = jnp.sum(rpass.astype(jnp.int32), axis=1)
+
+    zero = jnp.zeros((tiles, TILE), jnp.float32)
+    if occlusion:
+        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),
+                zero.astype(jnp.int32) - 1, zero, zero)
+    else:
+        best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
+    best = _sweep(best, ccid, centry, ccnt, rays, accel.cl_flat,
+                  occlusion)
+    return tuple(bb.reshape(n_pad)[:n] for bb in best)
+
 
 @functools.partial(jax.jit, static_argnames=("occlusion", "wb"))
 def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
@@ -1166,7 +1222,12 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     windows (up to N_WINDOWS) run under lax.cond only while some tile
     still has unresolved farther blocks — so miss-heavy scenes stay
     correct without paying wb*N_WINDOWS sorting everywhere.
+
+    Scenes at <= _FLAT_MAX_CLUSTERS clusters take the single-level flat
+    path (static shape-derived choice).
     """
+    if accel.num_blocks * S <= _FLAT_MAX_CLUSTERS:
+        return _trace_flat(origins, dirs, accel, t_min, t_max, occlusion)
     n = origins.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

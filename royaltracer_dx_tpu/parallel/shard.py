@@ -84,11 +84,11 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
     renderer EXACTLY.  Only reprojections jumping further than the halo
     (fast camera/object motion) fall back to rejecting temporal reuse —
     the documented residual deviation.  Per-frame collectives: two
-    ppermute pairs of [halo*W, 26] rows over ICI.
+    ppermute pairs of [halo*W, 8] shard rows over ICI.
 
     Returns fn(scene, cam, frame, xs, ys, packed_di, packed_gi) ->
     (sample [N,3], new_packed_di, new_packed_gi, l1 [N,3]) with xs/ys the
-    GLOBAL pixel coordinates and packed_* the [N, 26] last-frame record
+    GLOBAL pixel coordinates and packed_* the 3-shard last-frame record
     tables (render/restir_renderer.py pack layout).
     """
     from royaltracer_dx_tpu.render import restir_renderer as rr
@@ -101,7 +101,7 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
     halo_rows = min(cfg.spatial_radius, band_h)
     hw = halo_rows * cfg.width
 
-    def halo_extend(a):
+    def _halo_extend_one(a):
         """[band_n, C] -> [band_n + 2*hw, C]: neighbors' adjacent rows
         stacked above/below (zero-filled at the image's outer edges, which
         globally-mirrored taps never address)."""
@@ -112,6 +112,10 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
         from_below = jax.lax.ppermute(
             a[:hw], PIXEL_AXIS, [(i, i - 1) for i in range(1, n_dev)])
         return jnp.concatenate([from_above, a, from_below], axis=0)
+
+    def halo_extend(packed):
+        """Per-shard halo exchange of a packed-record shard tuple."""
+        return jax.tree.map(_halo_extend_one, packed)
 
     def local(scene, cam, frame, xs, ys, packed_di, packed_gi):
         row0 = ys[0] - halo_rows          # first GLOBAL row of the
@@ -137,10 +141,12 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
         )
         # ping-pong: the 'last' tables update only for shaded lanes
         sh = shaded[:, None]
-        new_di = jnp.where(
-            sh, rr._pack_record(sdata, out_di, rr._DI_KEYS, rd), packed_di)
-        new_gi = jnp.where(
-            sh, rr._pack_record(sdata, out_gi, rr._GI_KEYS, rd), packed_gi)
+        new_di = jax.tree.map(
+            lambda new, old: jnp.where(sh, new, old),
+            rr._pack_record(sdata, out_di, rr._DI_KEYS, rd), packed_di)
+        new_gi = jax.tree.map(
+            lambda new, old: jnp.where(sh, new, old),
+            rr._pack_record(sdata, out_gi, rr._GI_KEYS, rd), packed_gi)
         l1 = pv.to_aos(sdata["l1"], axis=1)
         return sample, new_di, new_gi, l1
 
@@ -155,9 +161,12 @@ def make_sharded_restir_frame(mesh: Mesh, cfg: RenderConfig):
 
 
 def shard_pixels(mesh: Mesh, *arrays):
-    """Device_put arrays with their leading dim sharded over the mesh."""
+    """Device_put arrays (or pytrees of arrays, e.g. packed-record shard
+    tuples) with their leading dim sharded over the mesh."""
     sharding = NamedSharding(mesh, P(PIXEL_AXIS))
-    return tuple(jax.device_put(a, sharding) for a in arrays)
+    return tuple(
+        jax.tree.map(lambda x: jax.device_put(x, sharding), a)
+        for a in arrays)
 
 
 def replicate(mesh: Mesh, tree):
@@ -205,10 +214,14 @@ class ShardedRestirRenderer:
                              indexing="ij")
         self.xs, self.ys = shard_pixels(
             self.mesh, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()))
-        packed0 = np.zeros((n, 26), np.float32)
-        packed0[:, 12] = float(
-            jnp.uint32(rr.MISS_MATERIAL_ID).astype(jnp.int32))  # mid sentinel
-        packed0 = jnp.asarray(packed0, rr._rec_dtype(cfg))
+        # zero packed shards: mid = miss sentinel (S0 col 6), flags = 1
+        # (|l1| == 0, not valid — matching _pack_record on zero state)
+        s0 = np.zeros((n, 8), np.float32)
+        s0[:, 6] = float(jnp.uint32(rr.MISS_MATERIAL_ID).astype(jnp.int32))
+        s0[:, 7] = 1.0
+        rd = rr._rec_dtype(cfg)
+        packed0 = (jnp.asarray(s0, rd), jnp.zeros((n, 8), rd),
+                   jnp.zeros((n, 8), rd))
         self.packed_di, self.packed_gi = shard_pixels(
             self.mesh, packed0, packed0)
         fb = Framebuffer.create(n)

@@ -91,42 +91,114 @@ _I = jnp.int32
 
 
 def _pack_record(sd: dict, res: dict, keys: tuple,
-                 dtype=jnp.float32) -> jax.Array:
-    """sdata planes + reservoir planes -> one [N, 26] float array.
+                 dtype=jnp.float32) -> tuple:
+    """sdata planes + reservoir planes -> THREE [N, 8] shard arrays.
 
-    Column order: x1(3) n1(3) o(3) l1(3) mid obj | vec0(3) vec1(3) vec2(3)
-    w_sum w m.  Int ids travel as float VALUES (exact for |id| < 2^24 —
-    the int32 miss sentinel is -2, also exact); bitcasting them instead
-    makes small ids f32 denormals, which the TPU flushes to zero.
+    Shard layout (measured: gathers from a 2M-row table cost ~5 ns/row
+    at 32 B rows but ~41 ns/row at 104 B — profile_r3j — so the record
+    is stored as narrow shards and each consumer gathers only the shards
+    it needs; pass 3 reads S0 for all 9 accept tries and S1/S2 only for
+    the k chosen candidates):
+
+      S0: x1(3) n1(3) mid flags     -- every accept test's columns
+      S1: vec0(3) vec1(3) w_sum obj -- GI jacobian tries + payloads
+      S2: o(3) vec2(3) w m          -- chosen-candidate epilogue
+
+    flags = (|l1| == 0) + 2 * is_valid, evaluated on the STORED-dtype
+    values so half-precision records stay self-consistent; l1 itself is
+    not stored — no consumer reads more than its zero test (the actual
+    emissive radiance state lives in last_sdata / the sharded renderer's
+    l1 buffer).  Int ids travel as float VALUES (exact for |id| < 2^24;
+    the miss sentinel -2 too); bitcasting would make small ids f32
+    denormals, which the TPU flushes to zero.
 
     dtype=float16 is the reference's half-precision reservoir storage
     (RayGen_v6 reservoirs compiled with -enable-16bit-types,
-    DXRHelper.h:122-133): rows shrink 104 -> 52 bytes, compute stays f32
-    (cfg.record_dtype).  fp16 keeps ids exact below 2^11 — asserted at
-    flatten time — and the miss sentinel (-2) exactly."""
-    cols = list(sd["x1"]) + list(sd["n1"]) + list(sd["o"]) + list(sd["l1"])
-    cols += [sd["mid"].astype(_F), sd["obj"].astype(_F)]
-    for k in keys:
-        cols += list(res[k])
-    cols += [res["w_sum"], res["w"], res["m"]]
-    return jnp.stack(cols, axis=-1).astype(dtype)
+    DXRHelper.h:122-133): rows shrink to 16 bytes/shard, compute stays
+    f32 (cfg.record_dtype).  fp16 keeps ids exact below 2^11 — asserted
+    at flatten time."""
+    v0, v1, v2 = (res[k] for k in keys)
+    stored = [jnp.stack(list(sd["x1"]) + list(sd["n1"]), -1),
+              jnp.stack(list(v0) + list(v1) + [res["w_sum"]], -1),
+              jnp.stack(list(sd["o"]) + list(v2)
+                        + [res["w"], res["m"]], -1)]
+    stored = [s.astype(dtype).astype(_F) for s in stored]
+    def len_sq(v3):
+        # pv.length(v) == 0 / > 0 tests reduce to sum-of-squares tests
+        # (sqrt is exact at 0); keeping the same arithmetic preserves the
+        # reference predicates bit-for-bit, including underflow behavior
+        return (v3[..., 0] * v3[..., 0] + v3[..., 1] * v3[..., 1]
+                + v3[..., 2] * v3[..., 2])
+
+    l1s = jnp.stack(list(sd["l1"]), -1).astype(dtype).astype(_F)
+    l1_zero = len_sq(l1s) == 0.0
+    w_sum_s = stored[1][..., 6]
+    m_s = stored[2][..., 7]
+    if keys[0] == "x2":     # DI validity (reservoir.is_valid_di_p)
+        valid = ((len_sq(stored[1][..., 3:6]) > 0.0)      # n2
+                 & (len_sq(stored[2][..., 3:6]) > 0.0)    # l2
+                 & (w_sum_s > 0.0) & (m_s > 0.0))
+    else:                   # GI validity (reservoir.is_valid_gi_p)
+        valid = (w_sum_s > 0.0) & (m_s > 0.0)
+    flags = l1_zero.astype(_F) + 2.0 * valid.astype(_F)
+    s0 = jnp.concatenate(
+        [stored[0], sd["mid"].astype(_F)[..., None], flags[..., None]],
+        axis=-1)
+    s1 = jnp.concatenate([stored[1], sd["obj"].astype(_F)[..., None]],
+                         axis=-1)
+    return (s0.astype(dtype), s1.astype(dtype), stored[2].astype(dtype))
 
 
-def _unpack_record(rows: jax.Array, keys: tuple) -> tuple[dict, dict]:
-    """[..., 26] -> (sdata planes, reservoir planes) with [...] leaves.
-    Half-precision rows (record_dtype=float16) upcast on load."""
-    rows = rows.astype(_F)
-    c = [rows[..., k] for k in range(rows.shape[-1])]
+def _unpack_record(rows: tuple, keys: tuple) -> tuple[dict, dict]:
+    """Gathered shard rows (s0, s1, s2) -> (sdata planes, reservoir
+    planes) with [...] leaves.  Half-precision rows upcast on load.
+    sd carries ``l1_zero`` (the only l1 fact stored) and ``flags``;
+    res carries a pre-baked ``valid``."""
+    r0, r1, r2 = (r.astype(_F) for r in rows)
+    flags = r0[..., 7]
     sd = dict(
-        x1=(c[0], c[1], c[2]), n1=(c[3], c[4], c[5]), o=(c[6], c[7], c[8]),
-        l1=(c[9], c[10], c[11]),
-        mid=c[12].astype(_I),
-        obj=c[13].astype(_I),
+        x1=(r0[..., 0], r0[..., 1], r0[..., 2]),
+        n1=(r0[..., 3], r0[..., 4], r0[..., 5]),
+        o=(r2[..., 0], r2[..., 1], r2[..., 2]),
+        mid=r0[..., 6].astype(_I),
+        obj=r1[..., 7].astype(_I),
+        l1_zero=(jnp.floor(flags * 0.5) * 2.0 != flags),  # bit0
     )
-    res = {keys[0]: (c[14], c[15], c[16]), keys[1]: (c[17], c[18], c[19]),
-           keys[2]: (c[20], c[21], c[22]),
-           "w_sum": c[23], "w": c[24], "m": c[25]}
+    res = {keys[0]: (r1[..., 0], r1[..., 1], r1[..., 2]),
+           keys[1]: (r1[..., 3], r1[..., 4], r1[..., 5]),
+           keys[2]: (r2[..., 3], r2[..., 4], r2[..., 5]),
+           "w_sum": r1[..., 6], "w": r2[..., 6], "m": r2[..., 7],
+           "valid": flags >= 2.0}
     return sd, res
+
+
+def _shards_from_legacy(rows: jax.Array, keys: tuple) -> tuple:
+    """Convert a round-2 monolithic [N, 26] packed table (column order
+    x1 n1 o l1 mid obj vec0 vec1 vec2 w_sum w m) into the shard tuple —
+    checkpoint backward compatibility only."""
+    c = rows.astype(_F)
+    sd = dict(x1=(c[..., 0], c[..., 1], c[..., 2]),
+              n1=(c[..., 3], c[..., 4], c[..., 5]),
+              o=(c[..., 6], c[..., 7], c[..., 8]),
+              l1=(c[..., 9], c[..., 10], c[..., 11]),
+              mid=c[..., 12].astype(_I), obj=c[..., 13].astype(_I))
+    res = {keys[0]: (c[..., 14], c[..., 15], c[..., 16]),
+           keys[1]: (c[..., 17], c[..., 18], c[..., 19]),
+           keys[2]: (c[..., 20], c[..., 21], c[..., 22]),
+           "w_sum": c[..., 23], "w": c[..., 24], "m": c[..., 25]}
+    return _pack_record(sd, res, keys, rows.dtype)
+
+
+def _unpack_res(r1: jax.Array, r2: jax.Array, keys: tuple) -> dict:
+    """Reservoir planes from gathered S1/S2 rows only (skips the S0
+    gather when the caller already has the sdata columns — e.g. pass 2's
+    GI record, whose sdata half duplicates the DI table's)."""
+    r1 = r1.astype(_F)
+    r2 = r2.astype(_F)
+    return {keys[0]: (r1[..., 0], r1[..., 1], r1[..., 2]),
+            keys[1]: (r1[..., 3], r1[..., 4], r1[..., 5]),
+            keys[2]: (r2[..., 3], r2[..., 4], r2[..., 5]),
+            "w_sum": r1[..., 6], "w": r2[..., 6], "m": r2[..., 7]}
 
 
 # ================================ PASS 1 =================================
@@ -316,8 +388,12 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
                  & (ly >= 0) & (ly < band_h))
     idx = jnp.clip(ly, 0, band_h - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
 
-    l_sd, l_di = _unpack_record(last_packed_di[idx], _DI_KEYS)
-    _, l_gi = _unpack_record(last_packed_gi[idx], _GI_KEYS)
+    # 3 + 2 narrow shard gathers (S0/S1/S2 of the DI table; the GI table
+    # shares sdata columns with DI, so only its S1/S2 rows are fetched)
+    l_sd, l_di = _unpack_record(tuple(s[idx] for s in last_packed_di),
+                                _DI_KEYS)
+    l_gi = _unpack_res(last_packed_gi[1][idx], last_packed_gi[2][idx],
+                       _GI_KEYS)
 
     mat = restir.fetch_material_p(scene, sdata["mid"])
 
@@ -325,8 +401,8 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
     # check and reads garbage — we require in_bounds
     accept_di = (
         shading & in_bounds
-        & (pv.length(l_sd["l1"]) == 0.0)
-        & is_valid_di_p(l_di)
+        & l_sd["l1_zero"]
+        & l_di["valid"]
         & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
         & (l_di["x2"][0] != 0.0) & (l_di["x2"][1] != 0.0) & (l_di["x2"][2] != 0.0)
         & (l_sd["mid"] == sdata["mid"])
@@ -372,10 +448,11 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
     )
     merged["w"] = jnp.where(accept_di, get_w(merged["w_sum"], p_hat), merged["w"])
 
-    # ---- GI acceptance (pass2:99-106)
+    # ---- GI acceptance (pass2:99-106); is_valid_gi_p evaluated inline
+    # (w_sum/m are gathered fields — identical to the baked GI flag)
     accept_gi = (
         shading & in_bounds
-        & (pv.length(l_sd["l1"]) == 0.0)
+        & l_sd["l1_zero"]
         & ~restir.reject_w_sum(l_gi["w_sum"], cfg.w_sum_threshold)
         & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
         & is_valid_gi_p(l_gi)
@@ -509,26 +586,38 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
 
     if packed_di_ext is None:
         rd = _rec_dtype(cfg)
-        packed_di = _pack_record(sdata, cur_di, _DI_KEYS, rd)   # [N, 26]
+        packed_di = _pack_record(sdata, cur_di, _DI_KEYS, rd)  # 3 shards
         packed_gi = _pack_record(sdata, cur_gi, _GI_KEYS, rd)
     else:
         packed_di, packed_gi = packed_di_ext, packed_gi_ext
 
-    # ---- DI candidates (pass3:107-142)
+    # ---- DI candidates (pass3:107-142).  The T tries gather ONLY the
+    # 32-byte S0 accept shard; the k chosen candidates then gather their
+    # S1/S2 payload rows by pixel index.  profile_r3j (1080p): 32 B-row
+    # gathers cost ~5 ns vs ~41 ns for the old 104 B full-record rows,
+    # and the 18 try-gathers were ~95% of this pass's non-trace time.
     pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
-    cand_sd, cand_di = _unpack_record(packed_di[pidx], _DI_KEYS)  # [T, N]
+    r0 = packed_di[0][pidx].astype(_F)                  # [T, N, 8]
+    c_x1 = (r0[..., 0], r0[..., 1], r0[..., 2])
+    c_n1 = (r0[..., 3], r0[..., 4], r0[..., 5])
+    c_mid = r0[..., 6].astype(_I)
     accept = (
         ~is_center
-        & ~restir.reject_normal_p(sdata["n1"], cand_sd["n1"], 0.9)
-        & ~restir.reject_distance_p(sdata["x1"], cand_sd["x1"], cam_pos, 0.1)
-        & is_valid_di_p(cand_di)
-        & (pv.length(cand_sd["l1"]) == 0.0)
-        & ~_sentinel(cand_sd["mid"])
-        & (cand_sd["mid"] == sdata["mid"])
+        & ~restir.reject_normal_p(sdata["n1"], c_n1, 0.9)
+        & ~restir.reject_distance_p(sdata["x1"], c_x1, cam_pos, 0.1)
+        & (r0[..., 7] == 3.0)     # pack-baked is_valid_di & |l1| == 0
+        & ~_sentinel(c_mid)
+        & (c_mid == sdata["mid"])
     )
     di_idx, di_ok = _pick_first_k_major(accept, k)      # k x [N]
-    nb_di = [_select_try(cand_di, di_idx[v]) for v in range(k)]
-    nb_sd = [_select_try(cand_sd, di_idx[v]) for v in range(k)]
+    nb_di, nb_sd = [], []
+    for v in range(k):
+        sel_pidx = jnp.take_along_axis(pidx, di_idx[v][None, :], 0)[0]
+        r2v = packed_di[2][sel_pidx].astype(_F)
+        nb_di.append(_unpack_res(packed_di[1][sel_pidx], r2v, _DI_KEYS))
+        nb = _select_try(dict(x1=c_x1, n1=c_n1), di_idx[v])
+        nb["o"] = (r2v[..., 0], r2v[..., 1], r2v[..., 2])
+        nb_sd.append(nb)
 
     cap = float(cfg.spatial_m_cap)
     m_sum = jnp.minimum(cap, cur_di["m"])
@@ -595,29 +684,45 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
             (nb["x2"], nb["n2"], nb["l2"]), seed,
         )
 
-    # ---- GI candidates (pass3:144-189)
+    # ---- GI candidates (pass3:144-189).  Tries gather S0 (accept
+    # columns) + S1 (xn/nn for the jacobian, w_sum); chosen candidates
+    # gather S2 (o, e3, w, m) by pixel index.
     pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
-    cand_sd_g, cand_gi = _unpack_record(packed_gi[pidx_g], _GI_KEYS)
-    jac = restir.jacobian_reconnection_p(
-        cand_sd_g["x1"], sdata["x1"], cand_gi["xn"], cand_gi["nn"]
-    )
+    g0 = packed_gi[0][pidx_g].astype(_F)                # [T, N, 8]
+    g1 = packed_gi[1][pidx_g].astype(_F)
+    g_x1 = (g0[..., 0], g0[..., 1], g0[..., 2])
+    g_n1 = (g0[..., 3], g0[..., 4], g0[..., 5])
+    g_mid = g0[..., 6].astype(_I)
+    g_xn = (g1[..., 0], g1[..., 1], g1[..., 2])
+    g_nn = (g1[..., 3], g1[..., 4], g1[..., 5])
+    g_w_sum = g1[..., 6]
+    jac = restir.jacobian_reconnection_p(g_x1, sdata["x1"], g_xn, g_nn)
     accept_g = (
         ~is_center_g
         & (mat["rough"] > 0.3)
-        & ~restir.reject_distance_p(sdata["x1"], cand_sd_g["x1"], cam_pos, 0.1)
+        & ~restir.reject_distance_p(sdata["x1"], g_x1, cam_pos, 0.1)
         & ~restir.reject_below_surface_p(
-            pv.normalize(pv.sub(cand_gi["xn"], sdata["x1"])), sdata["n1"]
+            pv.normalize(pv.sub(g_xn, sdata["x1"])), sdata["n1"]
         )
-        & ~restir.reject_w_sum(cand_gi["w_sum"], cfg.w_sum_threshold)
-        & is_valid_gi_p(cand_gi)
+        & ~restir.reject_w_sum(g_w_sum, cfg.w_sum_threshold)
+        & (g0[..., 7] == 3.0)     # pack-baked is_valid_gi & |l1| == 0
         & ~restir.reject_jacobian(jac, cfg.j_threshold)
-        & (pv.length(cand_sd_g["l1"]) == 0.0)
-        & ~_sentinel(cand_sd_g["mid"])
-        & (cand_sd_g["mid"] == sdata["mid"])
+        & ~_sentinel(g_mid)
+        & (g_mid == sdata["mid"])
     )
     gi_idx, gi_ok = _pick_first_k_major(accept_g, k)
-    nb_gi = [_select_try(cand_gi, gi_idx[v]) for v in range(k)]
-    nb_sd_g = [_select_try(cand_sd_g, gi_idx[v]) for v in range(k)]
+    nb_gi, nb_sd_g = [], []
+    for v in range(k):
+        sel_pidx = jnp.take_along_axis(pidx_g, gi_idx[v][None, :], 0)[0]
+        g2v = packed_gi[2][sel_pidx].astype(_F)
+        nb = _select_try(dict(xn=g_xn, nn=g_nn, w_sum=g_w_sum), gi_idx[v])
+        nb["e3"] = (g2v[..., 3], g2v[..., 4], g2v[..., 5])
+        nb["w"] = g2v[..., 6]
+        nb["m"] = g2v[..., 7]
+        nb_gi.append(nb)
+        nbs = _select_try(dict(x1=g_x1, n1=g_n1), gi_idx[v])
+        nbs["o"] = (g2v[..., 0], g2v[..., 1], g2v[..., 2])
+        nb_sd_g.append(nbs)
 
     cap_g = float(cfg.spatial_m_cap_gi)
     m_sum_g = jnp.minimum(cap_g, cur_gi["m"])
@@ -728,7 +833,7 @@ def _rec_dtype(cfg: RenderConfig):
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def _pack_last(last_di: ReservoirDI, last_gi: ReservoirGI,
                last_sdata: SampleData, dtype=jnp.float32):
-    """Persistent structs -> the two packed [N, 26] gather tables."""
+    """Persistent structs -> the two packed shard-tuple gather tables."""
     from royaltracer_dx_tpu.ops.reservoir import (
         di_to_planes, gi_to_planes, sdata_to_planes,
     )

@@ -76,10 +76,11 @@ def test_sharded_restir_frame_runs_and_converges():
     n = cfg.num_pixels
     ys, xs = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width),
                          indexing="ij")
+    zero_packed = tuple(jnp.zeros((n, 8), jnp.float32) for _ in range(3))
     xs_s, ys_s, pdi, pgi = shard_pixels(
         mesh,
         jnp.asarray(xs.ravel(), jnp.int32), jnp.asarray(ys.ravel(), jnp.int32),
-        jnp.zeros((n, 26), jnp.float32), jnp.zeros((n, 26), jnp.float32),
+        zero_packed, zero_packed,
     )
     scene_r = replicate(mesh, scene)
     frame_fn = make_sharded_restir_frame(mesh, cfg)
@@ -90,7 +91,7 @@ def test_sharded_restir_frame_runs_and_converges():
             scene_r, cam_arrays, jnp.uint32(f), xs_s, ys_s, pdi, pgi)
         s = np.asarray(sample)
         assert np.isfinite(s).all()
-        m_now = float(np.asarray(pdi)[:, 25].mean())   # packed DI 'm' column
+        m_now = float(np.asarray(pdi[2])[:, 7].mean())  # packed DI 'm' (S2 col 7)
         assert m_now >= m_prev
         m_prev = m_now
     assert s.mean() > 0.0     # light got in
