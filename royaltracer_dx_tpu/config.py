@@ -20,9 +20,12 @@ S_BIAS = 2.0e-5
 # Float-precision epsilon (Common_v6.hlsl:3; v5 uses 1e-4).
 EPSILON = 1.0e-6
 
-# auto traversal threshold: brute below this many triangles, stream above
-# (the stream path's fixed per-batch costs only amortize past this size)
-STREAM_AUTO_MIN_TRIS = 8000
+# auto traversal threshold: brute below this many triangles, stream above.
+# Scenes in [threshold, 8k tris] take stream's single-level FLAT path
+# (ops/stream_trace._trace_flat — measured 21 vs brute's 37 ns/ray on the
+# 2.2k-tri garage at 1080p); below the threshold a dense brute sweep still
+# wins (a 1-2 cluster worklist is brute plus sort/cull overhead).
+STREAM_AUTO_MIN_TRIS = 1500
 
 LUT_SIZE_THETA = 16
 

@@ -124,22 +124,25 @@ class SceneArrays:
     bvh: object = None               # LBVH when built (traversal="bvh")
     clusters: object = None          # Clusters when built (traversal="cluster")
     stream: object = None            # StreamAccel when built (traversal="stream")
-    # packed per-triangle shading record: verts(9) normals(9) mid obj — the
-    # hit attribute fetch is ONE row gather.  Ids ride as float VALUES
-    # (exact for |id| < 2^24), NOT bitcasts: small ints bitcast to f32 are
-    # denormals, which the TPU flushes to zero in transit.
-    tri_table: jax.Array | None = None
+    # packed per-triangle shading record: verts(9) normals(9) mid obj as
+    # THREE narrow shards (<= 32 B rows) — TPU row-gather cost cliffs
+    # above 32-byte rows (measured ~5 ns/row at 32 B vs ~20-41 ns at
+    # 80-104 B, profile_r3j/r3l), so three narrow gathers beat one wide
+    # one ~2-3x.  Ids ride as float VALUES (exact for |id| < 2^24), NOT
+    # bitcasts: small ints bitcast to f32 are denormals, which the TPU
+    # flushes to zero in transit.
+    tri_table: tuple | None = None
 
     def with_tri_table(self) -> "SceneArrays":
         t = self.num_triangles
-        table = jnp.concatenate(
-            [
-                self.tri_verts.reshape(t, 9),
-                self.tri_normals.reshape(t, 9),
-                self.tri_material.astype(jnp.float32)[:, None],
-                self.tri_instance.astype(jnp.float32)[:, None],
-            ],
-            axis=1,
+        v9 = self.tri_verts.reshape(t, 9)
+        n9 = self.tri_normals.reshape(t, 9)
+        ids = jnp.stack([self.tri_material.astype(jnp.float32),
+                         self.tri_instance.astype(jnp.float32)], axis=1)
+        table = (
+            v9[:, 0:8],                                        # v0 v1 v2.xy
+            jnp.concatenate([v9[:, 8:9], n9[:, 0:7]], axis=1),  # v2.z nv0 nv1 nv2.x
+            jnp.concatenate([n9[:, 7:9], ids], axis=1),        # nv2.yz mid obj
         )
         return self.replace(tri_table=table)
 
