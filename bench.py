@@ -345,6 +345,51 @@ def main():
     except Exception as e:
         extra["rmse_error"] = repr(e)[:200]
 
+    # ---- f16 packed-record delta (VERDICT r2 #8): frame time + image
+    # delta of the half-precision inter-pixel gather tables at 256^2
+    try:
+        rr16 = RestirRenderer(build_scene("reference")[0], rcam,
+                              RenderConfig(width=256, height=256,
+                                           record_dtype="f16"))
+        rr16.render()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            rr16.render()
+        rdt16 = (time.perf_counter() - t0) / 5
+        from royaltracer_dx_tpu.utils.metrics import rmse as _rmse
+        extra["f16_records_256"] = {
+            "frame_ms": round(rdt16 * 1e3, 2),
+            "f32_frame_ms": extra.get("restir_garage_256", {}).get("frame_ms"),
+            "rmse_vs_f32_1frame": round(_rmse(rr16.radiance(), img), 5),
+        }
+    except Exception as e:
+        extra["f16_error"] = repr(e)[:200]
+
+    # ---- VERDICT r2 #2: the reference's 1080p operating point (garage
+    # ReSTIR, 1920x1080).  LAST: the cold 1080p compile can take minutes
+    # when the remote compile cache misses, and the watchdog emits all
+    # rows recorded so far if the budget runs out.
+    try:
+        frr = RestirRenderer(build_scene("reference")[0], rcam,
+                             RenderConfig(width=1920, height=1080))
+        t0 = time.perf_counter()
+        frr.render()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            frr.render()
+        fdt = (time.perf_counter() - t0) / 3
+        fimg = frr.radiance()
+        assert np.isfinite(fimg).all()
+        extra["restir_garage_1080p"] = {
+            "frame_s": round(fdt, 3),
+            "fps": round(1.0 / fdt, 3),
+            "first_frame_s": round(compile_s, 1),
+            "mrays_per_s": round(frr.metrics.get("mrays_per_s", 0.0), 2),
+        }
+    except Exception as e:
+        extra["flagship_1080p_error"] = repr(e)[:200]
+
     extra["reps_ms"] = _ALL_REPS
     wd.cancel()
     print(json.dumps({

@@ -59,6 +59,26 @@ def _resolve_accel(scene: SceneArrays, cfg: RenderConfig) -> str:
     return mode
 
 
+def _is_flat(scene: SceneArrays) -> bool:
+    """True when the stream accel takes the single-level FLAT trace path
+    (static shape-derived; see stream_trace._trace_flat)."""
+    from royaltracer_dx_tpu.ops.stream_trace import _FLAT_MAX_CLUSTERS, S
+
+    return (scene.stream is not None
+            and scene.stream.num_blocks * S <= _FLAT_MAX_CLUSTERS)
+
+
+def _wants_presort(scene: SceneArrays) -> bool:
+    """Morton ray presort only pays on the windowed (big-scene) path.
+
+    The renderer's batches arrive pixel-ordered; on flat-path scenes the
+    presort permutation costs more than the coherence it adds (measured
+    at 1080p pass-3 visibility: 49.1 ns/ray sorted vs 32.7 unsorted,
+    scripts/profile_r3m.py), while on windowed scenes it is a large win
+    for scattered GI/shadow batches (round 2 measurements)."""
+    return not _is_flat(scene)
+
+
 def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                       t_min, t_max):
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel."""
@@ -66,7 +86,8 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     if mode == "stream":
         return closest_hit_stream_xla(origins, dirs, scene.stream,
                                       t_min=t_min, t_max=t_max,
-                                      wb=cfg.stream_wb, presort=True)
+                                      wb=cfg.stream_wb,
+                                      presort=_wants_presort(scene))
     if mode == "bvh":
         return closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=t_max)
     if mode == "cluster":
@@ -87,8 +108,9 @@ def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
         # emitters, so reversed tiles share a near-common origin and cull
         # far harder (measured 5.6 -> 7.1 Mrays/s at terrain-1M).
         return any_hit_stream_xla(origins, dirs, scene.stream, t_min, t_max,
-                                  wb=cfg.stream_wb, presort=True,
-                                  reverse=True)
+                                  wb=cfg.stream_wb,
+                                  presort=_wants_presort(scene),
+                                  reverse=not _is_flat(scene))
     if mode == "bvh":
         return any_hit_bvh(origins, dirs, scene.bvh, t_min, t_max)
     if mode == "cluster":
