@@ -53,7 +53,7 @@ def gi_init(scene, cfg: RenderConfig, x1, n1, outgoing, mid, seed):
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, n1, seed)
     hit = restir.trace_closest_p(scene, pv.to_aos(x1), pv.to_aos(sample), cfg,
-                                 t_min=S_BIAS)
+                                 t_min=S_BIAS, coherent=False)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = pv.length(hmat["ke"]) > 0.0
     active = hit["valid"] & ~hit_light
@@ -163,7 +163,7 @@ def gi_bounce(scene, cfg: RenderConfig, st: dict, bounce: jax.Array) -> dict:
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, normal, seed)
     hit = restir.trace_closest_p(scene, pv.to_aos(origin), pv.to_aos(sample),
-                                 cfg, t_min=S_BIAS)
+                                 cfg, t_min=S_BIAS, coherent=False)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = (pv.length(hmat["ke"]) > 0.0) & hit["valid"]
 

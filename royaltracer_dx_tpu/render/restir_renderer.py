@@ -561,6 +561,53 @@ def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     return ly * cfg.width + nx, is_center, seed
 
 
+def _gi_candidates(scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys,
+                   cfg, seed, row0, band_h):
+    """GI candidate picks (pass3:144-189).  Tries gather S0 (accept
+    columns) + S1 (xn/nn for the jacobian, w_sum); chosen candidates
+    gather S2 (o, e3, w, m) by pixel index.
+
+    Returns (pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed)."""
+    k = cfg.spatial_candidate_count
+    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
+    g0 = packed_gi[0][pidx_g].astype(_F)                # [T, N, 8]
+    g1 = packed_gi[1][pidx_g].astype(_F)
+    g_x1 = (g0[..., 0], g0[..., 1], g0[..., 2])
+    g_n1 = (g0[..., 3], g0[..., 4], g0[..., 5])
+    g_mid = g0[..., 6].astype(_I)
+    g_xn = (g1[..., 0], g1[..., 1], g1[..., 2])
+    g_nn = (g1[..., 3], g1[..., 4], g1[..., 5])
+    g_w_sum = g1[..., 6]
+    jac = restir.jacobian_reconnection_p(g_x1, sdata["x1"], g_xn, g_nn)
+    accept_g = (
+        ~is_center_g
+        & (mat["rough"] > 0.3)
+        & ~restir.reject_distance_p(sdata["x1"], g_x1, cam_pos, 0.1)
+        & ~restir.reject_below_surface_p(
+            pv.normalize(pv.sub(g_xn, sdata["x1"])), sdata["n1"]
+        )
+        & ~restir.reject_w_sum(g_w_sum, cfg.w_sum_threshold)
+        & (g0[..., 7] == 3.0)     # pack-baked is_valid_gi & |l1| == 0
+        & ~restir.reject_jacobian(jac, cfg.j_threshold)
+        & ~_sentinel(g_mid)
+        & (g_mid == sdata["mid"])
+    )
+    gi_idx, gi_ok = _pick_first_k_major(accept_g, k)
+    nb_gi, nb_sd_g = [], []
+    for v in range(k):
+        sel_pidx = jnp.take_along_axis(pidx_g, gi_idx[v][None, :], 0)[0]
+        g2v = packed_gi[2][sel_pidx].astype(_F)
+        nb = _select_try(dict(xn=g_xn, nn=g_nn, w_sum=g_w_sum), gi_idx[v])
+        nb["e3"] = (g2v[..., 3], g2v[..., 4], g2v[..., 5])
+        nb["w"] = g2v[..., 6]
+        nb["m"] = g2v[..., 7]
+        nb_gi.append(nb)
+        nbs = _select_try(dict(x1=g_x1, n1=g_n1), gi_idx[v])
+        nbs["o"] = (g2v[..., 0], g2v[..., 1], g2v[..., 2])
+        nb_sd_g.append(nbs)
+    return pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "band_h"))
 def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
                   sdata: dict, cfg: RenderConfig, xs=None, ys=None,
@@ -632,11 +679,23 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
                                 False, cfg)
     c_m_num = c_m_min * p_c
     mi_c = c_m_min / jnp.maximum(m_sum, 1e-9)
-    # the k candidate p_hat_from visibilities share ONE batched trace
-    vis_from = restir.visibility_batch_p(
+    # ALL of this pass's visibility-bearing p-hats (k DI p_hat_from, k GI
+    # p_hat_from, k GI shift targets — mutually independent; the GI
+    # candidate picks happen below but depend only on the packed tables)
+    # share ONE batched 3k*N shadow trace (bit-identical per query)
+    _gi_pick = _gi_candidates(scene, cur_gi, sdata, mat, packed_gi,
+                              cam_pos, xs, ys, cfg, seed, row0, band_h)
+    pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed = _gi_pick
+    vis_all = restir.visibility_batch_p(
         scene,
-        [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"]) for v in range(k)],
+        [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"]) for v in range(k)]
+        + [(nb_sd_g[v]["x1"], nb_sd_g[v]["n1"], cur_gi["xn"])
+           for v in range(k)]
+        + [(sdata["x1"], sdata["n1"], nb_gi[v]["xn"]) for v in range(k)],
         cfg)
+    vis_from = vis_all[:k]
+    vis_from_g = vis_all[k:2 * k]
+    vis_fs = vis_all[2 * k:]
     for v in range(k):
         p_from = restir.get_p_hat_di_p(
             scene, nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"], cur_di["n2"],
@@ -684,46 +743,6 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
             (nb["x2"], nb["n2"], nb["l2"]), seed,
         )
 
-    # ---- GI candidates (pass3:144-189).  Tries gather S0 (accept
-    # columns) + S1 (xn/nn for the jacobian, w_sum); chosen candidates
-    # gather S2 (o, e3, w, m) by pixel index.
-    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
-    g0 = packed_gi[0][pidx_g].astype(_F)                # [T, N, 8]
-    g1 = packed_gi[1][pidx_g].astype(_F)
-    g_x1 = (g0[..., 0], g0[..., 1], g0[..., 2])
-    g_n1 = (g0[..., 3], g0[..., 4], g0[..., 5])
-    g_mid = g0[..., 6].astype(_I)
-    g_xn = (g1[..., 0], g1[..., 1], g1[..., 2])
-    g_nn = (g1[..., 3], g1[..., 4], g1[..., 5])
-    g_w_sum = g1[..., 6]
-    jac = restir.jacobian_reconnection_p(g_x1, sdata["x1"], g_xn, g_nn)
-    accept_g = (
-        ~is_center_g
-        & (mat["rough"] > 0.3)
-        & ~restir.reject_distance_p(sdata["x1"], g_x1, cam_pos, 0.1)
-        & ~restir.reject_below_surface_p(
-            pv.normalize(pv.sub(g_xn, sdata["x1"])), sdata["n1"]
-        )
-        & ~restir.reject_w_sum(g_w_sum, cfg.w_sum_threshold)
-        & (g0[..., 7] == 3.0)     # pack-baked is_valid_gi & |l1| == 0
-        & ~restir.reject_jacobian(jac, cfg.j_threshold)
-        & ~_sentinel(g_mid)
-        & (g_mid == sdata["mid"])
-    )
-    gi_idx, gi_ok = _pick_first_k_major(accept_g, k)
-    nb_gi, nb_sd_g = [], []
-    for v in range(k):
-        sel_pidx = jnp.take_along_axis(pidx_g, gi_idx[v][None, :], 0)[0]
-        g2v = packed_gi[2][sel_pidx].astype(_F)
-        nb = _select_try(dict(xn=g_xn, nn=g_nn, w_sum=g_w_sum), gi_idx[v])
-        nb["e3"] = (g2v[..., 3], g2v[..., 4], g2v[..., 5])
-        nb["w"] = g2v[..., 6]
-        nb["m"] = g2v[..., 7]
-        nb_gi.append(nb)
-        nbs = _select_try(dict(x1=g_x1, n1=g_n1), gi_idx[v])
-        nbs["o"] = (g2v[..., 0], g2v[..., 1], g2v[..., 2])
-        nb_sd_g.append(nbs)
-
     cap_g = float(cfg.spatial_m_cap_gi)
     m_sum_g = jnp.minimum(cap_g, cur_gi["m"])
     for v in range(k):
@@ -738,10 +757,6 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     )
     cg_num = cg_m_min * p_c_gi
     mi_c_gi = cg_m_min / jnp.maximum(m_sum_g, 1e-9)
-    vis_from_g = restir.visibility_batch_p(
-        scene,
-        [(nb_sd_g[v]["x1"], nb_sd_g[v]["n1"], cur_gi["xn"])
-         for v in range(k)], cfg)
     for v in range(k):
         nbs = nb_sd_g[v]
         j_v = restir.jacobian_reconnection_p(
@@ -767,9 +782,6 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
         w_sum=jnp.where(shading, w_c_gi, cur_gi["w_sum"]),
     )
 
-    vis_fs = restir.visibility_batch_p(
-        scene,
-        [(sdata["x1"], sdata["n1"], nb_gi[v]["xn"]) for v in range(k)], cfg)
     for v in range(k):
         nb, nbs = nb_gi[v], nb_sd_g[v]
         j_mis = restir.jacobian_reconnection_p(
