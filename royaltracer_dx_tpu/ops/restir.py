@@ -525,9 +525,14 @@ def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
 
 
 def visibility_check_p(scene, x1, n1, direction, dist, cfg) -> jax.Array:
-    """Planar V in {0,1} (Sampler_v6.hlsl:86-104)."""
+    """Planar V in {0,1} (Sampler_v6.hlsl:86-104).
+
+    A NEGATIVE dist marks a masked lane (visibility_batch_p): its t_max
+    goes negative so every traversal treats it as dead, and V = 1.0
+    (callers multiply masked results out)."""
     o = pv.add(x1, pv.scale(pv.normalize(n1), S_BIAS))
-    t_max = jnp.maximum(dist - 10.0 * S_BIAS, 2.0 * S_BIAS)
+    t_max = jnp.where(dist < 0.0, -1.0,
+                      jnp.maximum(dist - 10.0 * S_BIAS, 2.0 * S_BIAS))
     occ = trace_occluded(scene, pv.to_aos(o), pv.to_aos(direction),
                          jnp.zeros_like(dist), t_max, cfg)
     return jnp.where(occ, 0.0, 1.0)
@@ -543,21 +548,34 @@ def visibility_batch_p(scene, queries, cfg) -> list:
     sort, windows) ONCE for the k*N batch instead of k times.  Returns
     the k V arrays ([N] each, in {0,1})."""
     kq = len(queries)
-    if kq == 1:
-        x1, n1, x_to = queries[0]
-        d = pv.sub(x_to, x1)
-        return [visibility_check_p(scene, x1, n1, pv.normalize(d),
-                                   pv.length(d), cfg)]
     n = queries[0][0][0].shape[0]
+
+    def dist_of(q):
+        """Query distance; an optional 4th element masks lanes whose
+        result is multiplied out downstream (rejected candidates,
+        non-shading pixels): their segment collapses to t_max <= t_min,
+        so the traversal treats them as dead — they stop fattening the
+        per-tile cull unions — and V returns 1.0 (never consumed)."""
+        d = pv.sub(q[2], q[0])
+        dist = pv.length(d)
+        if len(q) > 3 and q[3] is not None:
+            dist = jnp.where(q[3], dist, -1.0)
+        return d, dist
+
+    if kq == 1:
+        d, dist = dist_of(queries[0])
+        return [visibility_check_p(scene, queries[0][0], queries[0][1],
+                                   pv.normalize(d), dist, cfg)]
 
     def cat(ps):
         return tuple(jnp.concatenate([p[c] for p in ps]) for c in range(3))
 
     x1 = cat([q[0] for q in queries])
     n1 = cat([q[1] for q in queries])
-    x_to = cat([q[2] for q in queries])
-    d = pv.sub(x_to, x1)
-    v = visibility_check_p(scene, x1, n1, pv.normalize(d), pv.length(d), cfg)
+    dd = [dist_of(q) for q in queries]
+    d = cat([d_ for d_, _ in dd])
+    dist = jnp.concatenate([ds for _, ds in dd])
+    v = visibility_check_p(scene, x1, n1, pv.normalize(d), dist, cfg)
     return [v[i * n:(i + 1) * n] for i in range(kq)]
 
 
@@ -593,22 +611,32 @@ def reconnect_gi_p(x1, n1, xn, e3, outgoing, mat):
     return pv.where(finite, fr, pv.splat(0.0))
 
 
-def get_p_hat_di_p(scene, x1, n1, x2, n2, l2, outgoing, mat, use_visibility, cfg):
-    """Planar p-hat = |ReconnectDI| (x V) (Sampler_v6.hlsl:163-171)."""
+def get_p_hat_di_p(scene, x1, n1, x2, n2, l2, outgoing, mat, use_visibility,
+                   cfg, vis_mask=None):
+    """Planar p-hat = |ReconnectDI| (x V) (Sampler_v6.hlsl:163-171).
+
+    vis_mask (optional, with use_visibility): lanes whose p-hat is
+    multiplied out downstream skip the shadow segment (dead t_max) —
+    the visibility factor reads 1.0 there."""
     f = pv.length(reconnect_di_p(x1, n1, x2, n2, l2, outgoing, mat))
     if use_visibility:
         d = pv.sub(x2, x1)
         dist = pv.length(d)
+        if vis_mask is not None:
+            dist = jnp.where(vis_mask, dist, -1.0)
         f = f * visibility_check_p(scene, x1, n1, pv.normalize(d), dist, cfg)
     return f
 
 
-def get_p_hat_gi_p(scene, x1, n1, xn, e3, outgoing, mat, use_visibility, cfg):
+def get_p_hat_gi_p(scene, x1, n1, xn, e3, outgoing, mat, use_visibility,
+                   cfg, vis_mask=None):
     """Planar float3 p-hat for GI (Sampler_v6.hlsl:173-181)."""
     f = reconnect_gi_p(x1, n1, xn, e3, outgoing, mat)
     if use_visibility:
         d = pv.sub(xn, x1)
         dist = pv.length(d)
+        if vis_mask is not None:
+            dist = jnp.where(vis_mask, dist, -1.0)
         v = visibility_check_p(scene, x1, n1, pv.normalize(d), dist, cfg)
         f = pv.scale(f, v)
     return f

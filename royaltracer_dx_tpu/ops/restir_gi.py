@@ -246,7 +246,10 @@ def gi_finalize(scene, cfg: RenderConfig, st: dict):
     dist = pv.length(d)
     needs = (cfg.nee_samples > 0) & (dist > EPSILON)
     t_min = dist * 0.0 + 0.5 * S_BIAS
-    t_max = jnp.maximum(S_BIAS, dist - S_BIAS * 5.0)
+    # lanes with no winning NEE sample (zero shadow vectors) trace a
+    # DEAD segment (t_max < t_min) instead of a real micro-ray — they
+    # stop fattening the traversal's per-tile cull unions
+    t_max = jnp.where(needs, jnp.maximum(S_BIAS, dist - S_BIAS * 5.0), 0.0)
     occ = restir.trace_occluded(scene, pv.to_aos(st["x1_shadow"]),
                                 pv.to_aos(pv.normalize(d)), t_min, t_max, cfg)
     kill = needs & occ

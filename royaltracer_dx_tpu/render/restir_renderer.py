@@ -273,10 +273,13 @@ def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig,
         obj=hit["obj"],
     )
 
-    # visibility-checked W (pass1:166-167)
+    # visibility-checked W (pass1:166-167); lanes that never fed the
+    # reservoir (miss/emissive, or w_sum == 0 where get_w is 0 anyway)
+    # trace dead shadow segments
     p_hat = restir.get_p_hat_di_p(
         scene, sdata["x1"], sdata["n1"], reservoir["x2"], reservoir["n2"],
         reservoir["l2"], sdata["o"], mat, True, cfg,
+        vis_mask=sampling & (reservoir["w_sum"] > 0.0),
     )
     reservoir["w"] = jnp.where(sampling, get_w(reservoir["w_sum"], p_hat), 0.0)
 
@@ -418,11 +421,22 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
 
     # the two visibility-bearing p-hats of this pass (DI last + GI last)
     # share ONE batched shadow trace (bit-identical results; the
-    # traversal's fixed costs are paid once for the 2N batch)
+    # traversal's fixed costs are paid once for the 2N batch).  The GI
+    # acceptance is evaluated early (it depends only on gathered last-
+    # frame fields) so BOTH queries mask their rejected lanes out of the
+    # trace — masked segments go dead and stop fattening cull unions.
+    accept_gi = (
+        shading & in_bounds
+        & l_sd["l1_zero"]
+        & ~restir.reject_w_sum(l_gi["w_sum"], cfg.w_sum_threshold)
+        & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
+        & is_valid_gi_p(l_gi)
+        & (l_sd["mid"] == sdata["mid"])
+    )
     vis_t, vis_t_gi = restir.visibility_batch_p(
         scene,
-        [(sdata["x1"], sdata["n1"], l_di["x2"]),
-         (sdata["x1"], sdata["n1"], l_gi["xn"])], cfg)
+        [(sdata["x1"], sdata["n1"], l_di["x2"], accept_di),
+         (sdata["x1"], sdata["n1"], l_gi["xn"], accept_gi)], cfg)
 
     w_c = mi_c * restir.get_p_hat_di_p(
         scene, sdata["x1"], sdata["n1"], cur_di["x2"], cur_di["n2"],
@@ -448,16 +462,9 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
     )
     merged["w"] = jnp.where(accept_di, get_w(merged["w_sum"], p_hat), merged["w"])
 
-    # ---- GI acceptance (pass2:99-106); is_valid_gi_p evaluated inline
-    # (w_sum/m are gathered fields — identical to the baked GI flag)
-    accept_gi = (
-        shading & in_bounds
-        & l_sd["l1_zero"]
-        & ~restir.reject_w_sum(l_gi["w_sum"], cfg.w_sum_threshold)
-        & ~restir.reject_distance_p(sdata["x1"], l_sd["x1"], cam_pos, 0.1)
-        & is_valid_gi_p(l_gi)
-        & (l_sd["mid"] == sdata["mid"])
-    )
+    # ---- GI acceptance (pass2:99-106) — accept_gi computed above the
+    # shared visibility batch; is_valid_gi_p evaluated inline (w_sum/m
+    # are gathered fields — identical to the baked GI flag)
     cap_gi = float(cfg.temporal_m_cap_gi)
     m_sum_gi = jnp.minimum(cap_gi, cur_gi["m"]) + jnp.minimum(cap_gi, l_gi["m"])
     mi_c_gi = restir.pairwise_mis_canonical_temporal(
@@ -688,10 +695,12 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed = _gi_pick
     vis_all = restir.visibility_batch_p(
         scene,
-        [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"]) for v in range(k)]
-        + [(nb_sd_g[v]["x1"], nb_sd_g[v]["n1"], cur_gi["xn"])
-           for v in range(k)]
-        + [(sdata["x1"], sdata["n1"], nb_gi[v]["xn"]) for v in range(k)],
+        [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"],
+          shading & di_ok[v]) for v in range(k)]
+        + [(nb_sd_g[v]["x1"], nb_sd_g[v]["n1"], cur_gi["xn"],
+            shading & gi_ok[v]) for v in range(k)]
+        + [(sdata["x1"], sdata["n1"], nb_gi[v]["xn"],
+            shading & gi_ok[v]) for v in range(k)],
         cfg)
     vis_from = vis_all[:k]
     vis_from_g = vis_all[k:2 * k]
@@ -811,10 +820,12 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
             (nb["xn"], nb["nn"], nb["e3"]), seed,
         )
 
-    # ---- final shade (pass3:334-372)
+    # ---- final shade (pass3:334-372); non-shading / empty-reservoir
+    # lanes trace dead shadow segments
     p_hat_final = restir.get_p_hat_di_p(
         scene, sdata["x1"], sdata["n1"], out_di["x2"], out_di["n2"],
         out_di["l2"], sdata["o"], mat, True, cfg,
+        vis_mask=shading & (out_di["w_sum"] != 0.0),
     )
     out_di["w"] = jnp.where(
         shading, get_w(out_di["w_sum"], p_hat_final), out_di["w"])
