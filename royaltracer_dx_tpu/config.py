@@ -110,6 +110,12 @@ class RenderConfig:
     # with the reference; False = mathematically consistent MIS.
     reference_mis_quirk: bool = True
 
+    # Diagnostic toggle: skip pass 2 entirely (temporal reuse off) so the
+    # RMSE study can attribute converged bias to its reuse stage
+    # (spatial reuse turns off via spatial_candidate_count=0).  The
+    # reference has no such switch — ON is the product behavior.
+    temporal_reuse: bool = True
+
     # RNG seed source for the per-pixel TEA seeds (pixel_seed "time" term,
     # RayGen_v6_pass1.hlsl:76-77):
     #   "frame" = the frame counter (deterministic replays/tests; default)

@@ -693,7 +693,7 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     _gi_pick = _gi_candidates(scene, cur_gi, sdata, mat, packed_gi,
                               cam_pos, xs, ys, cfg, seed, row0, band_h)
     pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed = _gi_pick
-    vis_all = restir.visibility_batch_p(
+    vis_all = [] if k == 0 else restir.visibility_batch_p(
         scene,
         [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"],
           shading & di_ok[v]) for v in range(k)]
@@ -970,11 +970,13 @@ class RestirRenderer:
         res_gi, _ = pass1_gi_final(scene, gi_in, st, cfg)
         tick("pass1_gi", res_gi["w_sum"])
 
-        packed_di, packed_gi = _pack_last(
-            self.last_di, self.last_gi, self.last_sdata, _rec_dtype(cfg))
-        res_di, res_gi = pass2_temporal(
-            scene, cam, frame, res_di, res_gi, sdata, packed_di, packed_gi, cfg,
-        )
+        if cfg.temporal_reuse:
+            packed_di, packed_gi = _pack_last(
+                self.last_di, self.last_gi, self.last_sdata, _rec_dtype(cfg))
+            res_di, res_gi = pass2_temporal(
+                scene, cam, frame, res_di, res_gi, sdata, packed_di,
+                packed_gi, cfg,
+            )
         tick("pass2_temporal", res_di["w_sum"])
 
         sample, shaded, out_di, out_gi = pass3_spatial(

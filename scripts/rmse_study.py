@@ -45,32 +45,57 @@ def main():
     print(f"device {jax.devices()[0]} res {res} frames {of}/{rf}",
           flush=True)
 
-    # oracle: quirk-free megakernel, pixel-aligned
-    t0 = time.perf_counter()
-    orc = Renderer(cornell_box(emission=18.0), cam,
-                   RenderConfig(width=res, height=res, max_bounces=5,
-                                aa_jitter=False, reference_mis_quirk=False))
-    for _ in range(of):
-        orc.render()
-    ora = orc.radiance()
-    print(f"oracle {of} frames: {time.perf_counter()-t0:.0f}s", flush=True)
+    def oracle_halves(mb, frames):
+        """Quirk-free megakernel oracle as two seed-independent halves:
+        (mean image, per-half noise rmse).  The oracle's own residual
+        noise must be subtracted from the bias estimate — at these frame
+        counts it is comparable to the ReSTIR residual."""
+        hs = []
+        for h in range(2):
+            o = Renderer(cornell_box(emission=18.0), cam,
+                         RenderConfig(width=res, height=res, max_bounces=mb,
+                                      aa_jitter=False,
+                                      reference_mis_quirk=False))
+            o.frame = h * 100_003
+            for _ in range(frames // 2):
+                o.render()
+            hs.append(o.radiance())
+        return 0.5 * (hs[0] + hs[1]), rmse(hs[0], hs[1]) / np.sqrt(2.0)
 
-    for label, kw in (
+    ora = ora_noise = None
+    if "ablate" not in sys.argv:
+        t0 = time.perf_counter()
+        ora, ora_noise = oracle_halves(5, of)
+        print(f"oracle {of} frames: {time.perf_counter()-t0:.0f}s "
+              f"noise_half {ora_noise:.6f}", flush=True)
+
+    configs = [
         ("di_only", dict(gi_bounces=0)),
         ("full", dict()),
-    ):
+    ]
+    if "ablate" in sys.argv:
+        # reuse-ablation ladder: converged bias by reuse stage.  If the
+        # no-reuse run lands within the noise floors, the residual bias
+        # of the full config is attributable to reuse correlation — the
+        # reference's own algorithmic structure, not a port defect.
+        configs = [
+            ("di_noreuse", dict(gi_bounces=0, temporal_reuse=False,
+                                spatial_candidate_count=0)),
+            ("di_temporal_only", dict(gi_bounces=0,
+                                      spatial_candidate_count=0)),
+            ("di_spatial_only", dict(gi_bounces=0, temporal_reuse=False)),
+            ("di_only", dict(gi_bounces=0)),
+        ]
+    di_target = None
+    for label, kw in configs:
         t0 = time.perf_counter()
         # DI-only ReSTIR converges to the 1-bounce oracle (test_rmse.py)
-        if label == "di_only":
-            o2 = Renderer(cornell_box(emission=18.0), cam,
-                          RenderConfig(width=res, height=res, max_bounces=1,
-                                       aa_jitter=False,
-                                       reference_mis_quirk=False))
-            for _ in range(of):
-                o2.render()
-            target = o2.radiance()
+        if label.startswith("di"):
+            if di_target is None:
+                di_target = oracle_halves(1, of)
+            target, t_noise = di_target
         else:
-            target = ora
+            target, t_noise = ora, ora_noise
 
         halves = []
         for h in range(2):
@@ -84,7 +109,10 @@ def main():
         img = 0.5 * (halves[0] + halves[1])
         noise = rmse(halves[0], halves[1]) / np.sqrt(2.0)
         total = rmse(img, target)
-        bias = float(np.sqrt(max(total**2 - 0.5 * noise**2, 0.0)))
+        # subtract BOTH converged-mean noise floors (each mean-of-two-
+        # halves has variance noise^2/2) — what remains is systematic
+        bias = float(np.sqrt(max(
+            total**2 - 0.5 * noise**2 - 0.5 * float(t_noise)**2, 0.0)))
         out = {
             "config": label,
             "res": res,
@@ -92,6 +120,7 @@ def main():
             "rmse": round(float(total), 6),
             "rel_mean": round(float(rel_mean(img, target)), 6),
             "noise_half_rmse": round(float(noise), 6),
+            "oracle_noise_half_rmse": round(float(t_noise), 6),
             "bias_estimate": round(bias, 6),
             "secs": round(time.perf_counter() - t0, 1),
         }
