@@ -263,3 +263,46 @@ def test_record_dtype_f16_close_to_f32():
     num = float(np.sqrt(np.mean((a - b) ** 2)))
     den = float(np.sqrt(np.mean(a ** 2)) + 1e-9)
     assert num / den < 0.08, num / den   # storage-precision noise only
+
+
+def test_visibility_batch_mask_matches_unmasked():
+    """Masked lanes trace dead segments (t_max < t_min) and return
+    V=1.0; unmasked lanes match the maskless batch bit-for-bit."""
+    from royaltracer_dx_tpu.utils import pvec as pv
+
+    scene = cornell_box(emission=18.0).flatten()
+    cfg = RenderConfig(width=8, height=8, traversal="brute")
+    rng = np.random.default_rng(3)
+    n = 256
+    x1 = tuple(jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+               for _ in range(3))
+    n1 = pv.normalize(tuple(
+        jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)))
+    x_to = tuple(jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+                 for _ in range(3))
+    mask = jnp.asarray(rng.uniform(size=n) < 0.5)
+
+    v_plain = restir.visibility_batch_p(
+        scene, [(x1, n1, x_to), (x_to, n1, x1)], cfg)
+    v_masked = restir.visibility_batch_p(
+        scene, [(x1, n1, x_to, mask), (x_to, n1, x1, mask)], cfg)
+    for vp, vm in zip(v_plain, v_masked):
+        vp, vm, mk = np.asarray(vp), np.asarray(vm), np.asarray(mask)
+        assert np.array_equal(vm[mk], vp[mk])
+        assert (vm[~mk] == 1.0).all()
+
+
+def test_reuse_ablation_toggles_run():
+    """temporal_reuse=False and spatial_candidate_count=0 (the RMSE
+    study's attribution ladder) render finite, light-carrying images."""
+    for kw in (dict(temporal_reuse=False),
+               dict(spatial_candidate_count=0),
+               dict(temporal_reuse=False, spatial_candidate_count=0)):
+        cfg = RenderConfig(width=16, height=16, gi_bounces=1,
+                           traversal="brute", aa_jitter=False, **kw)
+        r = RestirRenderer(cornell_box(emission=18.0), CAM, cfg)
+        for _ in range(3):
+            r.render()
+        img = np.asarray(r.radiance())
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.05
