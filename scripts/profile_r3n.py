@@ -138,6 +138,32 @@ def main():
     restir.visibility_batch_p = real_vb
     restir.visibility_check_p = real_vc
 
+    # ---- pass1_di / pass2 full (slope) for the frame ledger
+    def p1(x, cam_):
+        cam2 = dict(cam_)
+        cam2["view_inv"] = cam2["view_inv"] + x * 0.0
+        rd, sd, gi, s = rr.pass1_di(sa, cam2, frame, cfg)
+        return x + rd["w_sum"][0] * 1e-12
+    dt = slope(p1, (cam,))
+    say(f"pass1_di full:         {dt*1e3:8.1f} ms")
+
+    def p2(x, cur_di, cur_gi, sdata, pd, pg):
+        sd = dict(sdata)
+        sd["x1"] = tuple(c + x * 0.0 for c in sd["x1"])
+        d, g = rr.pass2_temporal.__wrapped__(
+            sa, cam, frame, dict(cur_di), dict(cur_gi), sd, pd, pg, cfg)
+        return x + d["w_sum"][0] * 1e-12
+    dt = slope(p2, (res_di, res_gi, sdata, packed_di, packed_gi))
+    say(f"pass2 full:            {dt*1e3:8.1f} ms")
+
+    def gstep(x, st):
+        st2 = dict(st)
+        st2["acc_pdf"] = st2["acc_pdf"] + x * 0.0
+        out = rr.pass1_gi_bounce.__wrapped__(sa, cfg, st2, jnp.uint32(1))
+        return x + out["acc_pdf"][0] * 1e-12
+    dt = slope(gstep, (st,))
+    say(f"gi_bounce (brute):     {dt*1e3:8.1f} ms")
+
     # ---- pack cost alone
     def pk(x, sdata, cur_di, cur_gi):
         sd = dict(sdata)
