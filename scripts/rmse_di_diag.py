@@ -69,6 +69,16 @@ def main():
         RenderConfig(width=res, height=res, gi_bounces=0,
                      aa_jitter=False, temporal_reuse=False,
                      spatial_candidate_count=0, bsdf_samples_di=0)))
+    # quirk-free variant: the ReSTIR renderer defaults to the
+    # reference's emissive-hit MIS quirk (missing 1/area,
+    # include/Hit.hlsl:160-165) for behavioral parity, while the oracle
+    # runs quirk-free — the quirk skews the DI bsdf-candidate MIS too
+    conv("restir_noreuse_noquirk", lambda: RestirRenderer(
+        cornell_box(emission=18.0), cam,
+        RenderConfig(width=res, height=res, gi_bounces=0,
+                     aa_jitter=False, temporal_reuse=False,
+                     spatial_candidate_count=0,
+                     reference_mis_quirk=False)))
 
     base_o = means.get("oracle_mb1_ris10")
     base_r = means.get("restir_noreuse_nee4")
