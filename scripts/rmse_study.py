@@ -46,16 +46,28 @@ def main():
           flush=True)
 
     def oracle_halves(mb, frames):
-        """Quirk-free megakernel oracle as two seed-independent halves:
-        (mean image, per-half noise rmse).  The oracle's own residual
-        noise must be subtracted from the bias estimate — at these frame
-        counts it is comparable to the ReSTIR residual."""
+        """Oracle as two seed-independent halves: (mean image, per-half
+        noise rmse).  The oracle's own residual noise must be subtracted
+        from the bias estimate — at these frame counts it is comparable
+        to the ReSTIR residual.
+
+        mb=1 (the DI target) uses the MIS-free pure-NEE DiOracle: the v5
+        megakernel at max_bounces=1 truncates the emissive-hit MIS
+        complement of its NEE weight and under-counts direct light ~1%
+        (tests/test_rmse.py module docstring, round-3 arbitration).
+        Deeper targets keep the quirk-free megakernel."""
+        from royaltracer_dx_tpu.render.di_oracle import DiOracle
+
         hs = []
         for h in range(2):
-            o = Renderer(cornell_box(emission=18.0), cam,
-                         RenderConfig(width=res, height=res, max_bounces=mb,
-                                      aa_jitter=False,
-                                      reference_mis_quirk=False))
+            if mb == 1:
+                o = DiOracle(cornell_box(emission=18.0), cam,
+                             RenderConfig(width=res, height=res))
+            else:
+                o = Renderer(cornell_box(emission=18.0), cam,
+                             RenderConfig(width=res, height=res,
+                                          max_bounces=mb, aa_jitter=False,
+                                          reference_mis_quirk=False))
             o.frame = h * 100_003
             for _ in range(frames // 2):
                 o.render()

@@ -33,6 +33,22 @@ pipeline vs the mb5 oracle splits into two explained parts:
   * NOT the cause (measured): w_sum_threshold (+0.1%% when lifted),
     j_threshold (clamp removal LOWERS energy: fireflies guard),
     temporal_r_threshold, M caps (uncapping slows convergence instead).
+
+Round-3 DI arbitration (64^2/128^2, scripts/rmse_di_diag.py + a pure-NEE
+quadrature): the residual "+1%% DI bias" was the mb1 ORACLE's defect, not
+the pipeline's.  Proof chain: (a) both estimators are candidate-count-
+independent (oracle ris_m 1/10/32 -> 0.56590/0.56589/0.56591; restir
+nee 1/4 -> 0.571086/0.571109), so no MIS-weight bug on either side; (b)
+forcing ALL visibility transparent preserves the +1.03%% split — it is
+estimator math, not shadow epsilons; (c) an MIS-free uniform-light-area
+quadrature with the v6 blended BRDF (render/di_oracle.py) converges to
+0.5714 = the ReSTIR side.  The v5 megakernel's NEE carries MIS weight
+pdf_l/(pdf_l + pdf_b) whose complement arrives via the MIS-weighted
+emissive hit of the NEXT bounce's continuation ray (Hit.hlsl:126-174);
+max_bounces=1 truncates that complement, so mb1 under-counts direct
+light ~1%% (a property of every finite-depth MIS path tracer's LAST
+bounce).  DI comparisons therefore target DiOracle; deep-transport
+comparisons keep the megakernel ladder with the truncation documented.
 """
 
 import numpy as np
@@ -69,10 +85,20 @@ def _restir(frames=100, **extra):
 def test_di_chain_unbiased_vs_oracle():
     """DI-only ReSTIR (RIS + temporal + spatial + MIS + visibility) must
     converge to the direct-lighting oracle: the class of subtle MIS-weight
-    bug ReSTIR is famous for would move rel_mean off 1."""
-    a = _oracle(max_bounces=1)
+    bug ReSTIR is famous for would move rel_mean off 1.
+
+    The target is the MIS-free pure-NEE DiOracle (see module docstring:
+    the mb1 megakernel under-counts ~1% by truncating its emissive-hit
+    MIS complement)."""
+    from royaltracer_dx_tpu.render.di_oracle import DiOracle
+
+    o = DiOracle(cornell_box(emission=18.0), CAM,
+                 RenderConfig(width=W, height=W, traversal="brute"))
+    for _ in range(600):
+        o.render()
+    a = o.radiance()
     b = _restir(gi_bounces=0)
-    assert 0.96 < rel_mean(b, a) < 1.05, (rel_mean(b, a), rmse(b, a))
+    assert 0.97 < rel_mean(b, a) < 1.03, (rel_mean(b, a), rmse(b, a))
     assert rmse(b, a) < 0.05, rmse(b, a)
 
 
