@@ -75,7 +75,7 @@ def main():
         return 0.5 * (hs[0] + hs[1]), rmse(hs[0], hs[1]) / np.sqrt(2.0)
 
     ora = ora_noise = None
-    if "ablate" not in sys.argv:
+    if "ablate" not in sys.argv and "matched" not in sys.argv:
         t0 = time.perf_counter()
         ora, ora_noise = oracle_halves(5, of)
         print(f"oracle {of} frames: {time.perf_counter()-t0:.0f}s "
@@ -85,6 +85,12 @@ def main():
         ("di_only", dict(gi_bounces=0)),
         ("full", dict()),
     ]
+    if "matched" in sys.argv:
+        # matched-transport comparison: the product default (gi_bounces=3)
+        # carries less transport than the mb5 oracle; gi6-vs-mb8 compares
+        # both near transport convergence, so the residual isolates the
+        # reuse-correlation part from the truncation part.
+        configs = [("full_matched_gi6_mb8", dict(gi_bounces=6))]
     if "ablate" in sys.argv:
         # reuse-ablation ladder: converged bias by reuse stage.  If the
         # no-reuse run lands within the noise floors, the residual bias
@@ -106,6 +112,8 @@ def main():
             if di_target is None:
                 di_target = oracle_halves(1, of)
             target, t_noise = di_target
+        elif "mb8" in label:
+            target, t_noise = oracle_halves(8, of)
         else:
             target, t_noise = ora, ora_noise
 
