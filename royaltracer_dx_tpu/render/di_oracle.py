@@ -59,7 +59,10 @@ class DiOracle:
         self._ys = jnp.asarray(ys.ravel())
         self._cols = light_sampling.light_tables(sa.lights, sa.object_to_world)
         self._acc = np.zeros((cfg.num_pixels, 3), np.float64)
+        # frame is the SEED counter (callers may pre-offset it for
+        # independent streams); _n_frames counts accumulated frames
         self.frame = 0
+        self._n_frames = 0
 
     def _frame(self, seed):
         return _di_frame(self.scene_arrays, self._mat, self._x1, self._n1,
@@ -71,11 +74,12 @@ class DiOracle:
         c = self._frame(seed)
         self._acc += np.stack([np.asarray(p) for p in c], axis=1)
         self.frame += 1
+        self._n_frames += 1
 
     def radiance(self) -> np.ndarray:
         cfg = self.cfg
-        return (self._acc / max(self.frame, 1)).astype(np.float32).reshape(
-            cfg.height, cfg.width, 3)
+        return (self._acc / max(self._n_frames, 1)).astype(
+            np.float32).reshape(cfg.height, cfg.width, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
