@@ -85,7 +85,18 @@ def main():
         ("di_only", dict(gi_bounces=0)),
         ("full", dict()),
     ]
-    if "matched" in sys.argv:
+    if "ablate_full" in sys.argv:
+        # full-pipeline (DI+GI) reuse ladder vs the mb5 oracle: attributes
+        # the converged full-config bias between truncation (present in
+        # every row) and reuse correlation (the no-reuse -> full delta)
+        configs = [
+            ("full_noreuse", dict(temporal_reuse=False,
+                                  spatial_candidate_count=0)),
+            ("full_temporal_only", dict(spatial_candidate_count=0)),
+            ("full_spatial_only", dict(temporal_reuse=False)),
+            ("full", dict()),
+        ]
+    elif "matched" in sys.argv:
         # matched-transport comparison: the product default (gi_bounces=3)
         # carries less transport than the mb5 oracle; gi6-vs-mb8 compares
         # both near transport convergence, so the residual isolates the
