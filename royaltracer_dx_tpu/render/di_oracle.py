@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from royaltracer_dx_tpu.camera import Camera, generate_rays
+from royaltracer_dx_tpu.camera import Camera
 from royaltracer_dx_tpu.config import RenderConfig, S_BIAS
 from royaltracer_dx_tpu.ops import bsdf, light_sampling, restir
 from royaltracer_dx_tpu.utils import pvec as pv
@@ -39,20 +39,30 @@ class DiOracle:
     def __init__(self, scene, camera: Camera, cfg: RenderConfig):
         self.cfg = cfg
         self.scene_arrays = scene.flatten(scene.build_materials())
+        sa = self.scene_arrays
+        # Primary-hit geometry comes from the PIPELINE'S OWN jitted
+        # pass1_di (sdata planes), not an eager re-trace: XLA fuses the
+        # ray-gen + normalize + trace chain differently inside pass1's
+        # jit than op-by-op eager execution, and the resulting ulp-level
+        # position differences flip wall-seam hits to the other side of
+        # the plane — binary shadow visibility then amplifies that to
+        # full-value pixel differences (measured: 6 cornell corner-seam
+        # pixels carried 97% of the converged DI residual RMSE).  Using
+        # pass1's sdata makes the oracle's geometry bit-identical and
+        # isolates estimator math.
+        from royaltracer_dx_tpu.render import restir_renderer as _rr
+
         ca = {k: jnp.asarray(v)
               for k, v in camera.matrices(cfg.width / cfg.height).items()}
-        o, d = generate_rays(ca, cfg.width, cfg.height)
-        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
-        sa = self.scene_arrays
-        hit = restir.trace_closest_p(sa, o, d, cfg, t_min=1e-4)
-        self._mat = restir.fetch_material_p(sa, hit["mid"])
-        emissive = pv.length(self._mat["ke"]) > 0.0
-        self._shading = hit["valid"] & ~emissive
-        self._x1 = hit["pos"]
-        self._n1 = pv.normalize(hit["normal"])
-        self._outgoing = pv.neg(pv.from_aos(d, axis=1))
-        zero = pv.splat(jnp.zeros(cfg.num_pixels))
-        self._l1 = pv.where(hit["valid"], self._mat["ke"], zero)
+        ca.setdefault("prev_view", jnp.zeros((4, 4), jnp.float32))
+        ca.setdefault("prev_proj", jnp.zeros((4, 4), jnp.float32))
+        _, sdata, gi_in, _ = _rr.pass1_di(sa, ca, jnp.uint32(0), cfg)
+        self._mat = restir.fetch_material_p(sa, sdata["mid"])
+        self._shading = gi_in["sampling"]
+        self._x1 = sdata["x1"]
+        self._n1 = sdata["n1"]
+        self._outgoing = sdata["o"]
+        self._l1 = sdata["l1"]
         ys, xs = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width),
                              indexing="ij")
         self._xs = jnp.asarray(xs.ravel())

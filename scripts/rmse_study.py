@@ -140,6 +140,14 @@ def main():
         img = 0.5 * (halves[0] + halves[1])
         noise = rmse(halves[0], halves[1]) / np.sqrt(2.0)
         total = rmse(img, target)
+        # seam-robust variant: wall-seam pixels whose primary hit lands
+        # an ulp on the other side of a plane differ by their FULL value
+        # between independently-jitted renderers (binary visibility);
+        # trimming the top 0.1% |diff| pixels shows whether the residual
+        # is a handful of such pixels or broad structure
+        diff2 = ((img - target) ** 2).mean(axis=-1).ravel()
+        keep = np.sort(diff2)[: int(len(diff2) * 0.999)]
+        trim999 = float(np.sqrt(keep.mean()))
         # subtract BOTH converged-mean noise floors (each mean-of-two-
         # halves has variance noise^2/2) — what remains is systematic
         bias = float(np.sqrt(max(
@@ -149,6 +157,7 @@ def main():
             "res": res,
             "frames": [of, rf],
             "rmse": round(float(total), 6),
+            "rmse_trim999": round(trim999, 6),
             "rel_mean": round(float(rel_mean(img, target)), 6),
             "noise_half_rmse": round(float(noise), 6),
             "oracle_noise_half_rmse": round(float(t_noise), 6),
