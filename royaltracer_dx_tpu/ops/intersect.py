@@ -146,6 +146,9 @@ def closest_hit_brute(
     chunk = max(min(chunk, -(-t_count // _MIN_CHUNK) * _MIN_CHUNK), _MIN_CHUNK)
     num_chunks, tris_all = _chunk_planes(tri_verts, chunk)
     o, d = _ray_planes(origins, dirs)
+    # t_min/t_max: scalar or per-ray [N] -> [N, 1] (broadcasts vs [N, C])
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))[:, None]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))[:, None]
     lane = jax.lax.iota(jnp.int32, chunk)[None, :]  # [1, C]
 
     def step(carry, tris):

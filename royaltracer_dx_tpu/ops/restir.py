@@ -79,6 +79,40 @@ def _wants_presort(scene: SceneArrays) -> bool:
     return not _is_flat(scene)
 
 
+# Trace memory scales with the ray count: the stream sweeps materialize
+# per-tile fetched cluster rows ([tiles, pair, 9, G] per round) and the
+# brute sweep a [N, tri_chunk] plane.  Batches beyond this cap run as
+# sequential lax.map chunks — one compiled body, ~parts x smaller HLO
+# temps, identical results.  (The 1080p flagship OOM: pass 3's fused 9x
+# candidate-visibility batch is 18.7M segments = a 16.6 GB pass-3 program
+# on a 15.7 GB chip; chunked it fits with headroom.)
+_TRACE_CHUNK_RAYS = 1 << 21
+
+
+def _chunked_rays(fn, n: int, args, pad_vals):
+    """Run per-ray trace ``fn(*args)`` over <=_TRACE_CHUNK_RAYS chunks.
+
+    args: [N, ...] arrays; pad_vals: pad constants (dirs pad 1.0, t_max
+    pads -1.0 = dead lanes, which every trace path already retires).
+    Returns fn's pytree with leading dim N."""
+    if n <= _TRACE_CHUNK_RAYS:
+        return fn(*args)
+    parts = -(-n // _TRACE_CHUNK_RAYS)
+    chunk = -(-n // parts)
+    chunk = -(-chunk // 128) * 128          # tile/chunk alignment
+    padded = parts * chunk
+
+    def prep(a, v):
+        a = jnp.pad(a, [(0, padded - n)] + [(0, 0)] * (a.ndim - 1),
+                    constant_values=v)
+        return a.reshape((parts, chunk) + a.shape[1:])
+
+    stacked = tuple(prep(a, v) for a, v in zip(args, pad_vals))
+    out = jax.lax.map(lambda xs: fn(*xs), stacked)
+    return jax.tree.map(
+        lambda a: a.reshape((padded,) + a.shape[2:])[:n], out)
+
+
 def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                       t_min, t_max, coherent: bool = True):
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel.
@@ -93,40 +127,62 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     mode = _resolve_accel(scene, cfg)
     if mode == "stream" and not coherent and _is_flat(scene):
         mode = "brute"
+    n = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
     if mode == "stream":
-        return closest_hit_stream_xla(origins, dirs, scene.stream,
-                                      t_min=t_min, t_max=t_max,
-                                      wb=cfg.stream_wb,
-                                      presort=_wants_presort(scene))
-    if mode == "bvh":
-        return closest_hit_bvh(origins, dirs, scene.bvh, t_min=t_min, t_max=t_max)
-    if mode == "cluster":
-        return closest_hit_clustered(origins, dirs, scene.clusters,
-                                     t_min=t_min, t_max=t_max,
-                                     tile=cfg.cluster_tile)
-    return closest_hit_brute(origins, dirs, scene.tri_verts,
-                             t_min=t_min, t_max=t_max)
+        def one(o, d, tn, tx):
+            return closest_hit_stream_xla(o, d, scene.stream,
+                                          t_min=tn, t_max=tx,
+                                          wb=cfg.stream_wb,
+                                          presort=_wants_presort(scene))
+    elif mode == "bvh":
+        def one(o, d, tn, tx):
+            return closest_hit_bvh(o, d, scene.bvh, t_min=tn, t_max=tx)
+    elif mode == "cluster":
+        def one(o, d, tn, tx):
+            return closest_hit_clustered(o, d, scene.clusters,
+                                         t_min=tn, t_max=tx,
+                                         tile=cfg.cluster_tile)
+    else:
+        def one(o, d, tn, tx):
+            return closest_hit_brute(o, d, scene.tri_verts,
+                                     t_min=tn, t_max=tx)
+    return _chunked_rays(one, n, (origins, dirs, t_min, t_max),
+                         (0.0, 1.0, 0.0, -1.0))
 
 
 def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min, t_max):
     mode = _resolve_accel(scene, cfg)
+    n = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
     if mode == "stream":
         # reverse=True: shadow segments trace from their FAR endpoint
         # (identical result — segment occlusion is symmetric).  NEE/
         # visibility far endpoints are light samples clustered on a few
         # emitters, so reversed tiles share a near-common origin and cull
         # far harder (measured 5.6 -> 7.1 Mrays/s at terrain-1M).
-        return any_hit_stream_xla(origins, dirs, scene.stream, t_min, t_max,
-                                  wb=cfg.stream_wb,
-                                  presort=_wants_presort(scene),
-                                  reverse=not _is_flat(scene))
-    if mode == "bvh":
-        return any_hit_bvh(origins, dirs, scene.bvh, t_min, t_max)
-    if mode == "cluster":
-        return any_hit_clustered(origins, dirs, scene.clusters, t_min, t_max,
-                                 tile=cfg.cluster_tile)
-    return any_hit_brute(origins, dirs, scene.tri_verts, t_min, t_max)
+        def one(o, d, tn, tx):
+            return any_hit_stream_xla(o, d, scene.stream, tn, tx,
+                                      wb=cfg.stream_wb,
+                                      presort=_wants_presort(scene),
+                                      reverse=not _is_flat(scene))
+    elif mode == "bvh":
+        def one(o, d, tn, tx):
+            return any_hit_bvh(o, d, scene.bvh, tn, tx)
+    elif mode == "cluster":
+        def one(o, d, tn, tx):
+            return any_hit_clustered(o, d, scene.clusters, tn, tx,
+                                     tile=cfg.cluster_tile)
+    else:
+        def one(o, d, tn, tx):
+            return any_hit_brute(o, d, scene.tri_verts, tn, tx)
+    return _chunked_rays(one, n, (origins, dirs, t_min, t_max),
+                         (0.0, 1.0, 0.0, -1.0))
 
 
 def trace_closest(scene: SceneArrays, origins, dirs, cfg: RenderConfig,

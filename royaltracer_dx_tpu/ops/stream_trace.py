@@ -782,16 +782,26 @@ def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int,
     near-to-far ordering).  A lane sort orders candidates near-to-far.
     Returns (ccid [tiles, wb*S], centry [tiles, wb*S] f32 (INF pad),
     ccnt [tiles])."""
-    o_lo, o_hi, d_lo, d_hi, t_lo, t_hi = tb
     tiles, bp = sbid.shape
-    b = accel.num_blocks
     hi = min(w0 + wb, bp)
     wl = sbid[:, w0:hi]
     wok = skey[:, w0:hi] < INF
-    wbw = hi - w0
-    if wbw <= 0:
+    if hi - w0 <= 0:
         z = jnp.zeros((tiles, 1), jnp.int32)
         return z, jnp.full((tiles, 1), INF), z[:, 0]
+    return _cluster_window_wl(wl, wok, tb, accel, rays)
+
+
+def _cluster_window_wl(wl, wok, tb, accel: StreamAccel, rays=None):
+    """_cluster_window body over an already-sliced block window.
+
+    wl [tiles, wbw] int32 block ids, wok [tiles, wbw] validity (False for
+    non-overlapped / padding slots).  Shared by the static window-0 slice
+    and the dynamic-offset tail-window loop of ``_trace_stream_xla``.
+    ``tb`` (tile interval bounds) is only consumed when ``rays`` is None —
+    pass None with per-ray culling."""
+    tiles, wbw = wl.shape
+    b = accel.num_blocks
 
     flat_bid = wl.reshape(tiles * wbw)
     oh = (flat_bid[:, None] ==
@@ -799,18 +809,24 @@ def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int,
     rows = jnp.dot(oh, accel.blk_boxes_bf16,
                    preferred_element_type=jnp.float32)    # [tiles*wbw, 6S]
     boxes = rows.reshape(tiles, wbw, 6, S)
-    cl_lo = jnp.moveaxis(boxes[:, :, 0:3, :], 2, 3)       # [tiles, wbw, S, 3]
-    cl_hi = jnp.moveaxis(boxes[:, :, 3:6, :], 2, 3)
-    cok, centry = _interval_slab_batched(
-        o_lo, o_hi, d_lo, d_hi, cl_lo, cl_hi, t_lo, t_hi)
-    cok = cok & wok[:, :, None]
-    cok = cok.reshape(tiles, wbw * S)
-    centry = centry.reshape(tiles, wbw * S)
     if rays is not None:
-        rpass, rentry = _per_ray_box_cull(
-            rays, boxes.reshape(tiles, wbw, 6, S))
-        cok = cok & rpass
-        centry = jnp.maximum(centry, rentry)
+        # The exact per-ray cull SUBSUMES the tile-interval slab: interval
+        # arithmetic is conservative over member rays, so per-ray pass is
+        # a subset of interval pass and the per-ray min entry >= the
+        # interval entry — running the slab too would change nothing
+        # (bit-identical cok/centry) while paying its batched math and
+        # the [tiles, wbw, S, 3] moveaxis copies.
+        rpass, rentry = _per_ray_box_cull(rays, boxes)
+        cok = rpass & jnp.repeat(wok, S, axis=1)
+        centry = rentry
+    else:
+        o_lo, o_hi, d_lo, d_hi, t_lo, t_hi = tb
+        cl_lo = jnp.moveaxis(boxes[:, :, 0:3, :], 2, 3)   # [tiles, wbw, S, 3]
+        cl_hi = jnp.moveaxis(boxes[:, :, 3:6, :], 2, 3)
+        cok, centry = _interval_slab_batched(
+            o_lo, o_hi, d_lo, d_hi, cl_lo, cl_hi, t_lo, t_hi)
+        cok = (cok & wok[:, :, None]).reshape(tiles, wbw * S)
+        centry = centry.reshape(tiles, wbw * S)
     cid = (wl[:, :, None] * S
            + jnp.arange(S, dtype=jnp.int32)[None, None, :]
            ).reshape(tiles, wbw * S)
@@ -1119,6 +1135,17 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
     return tuple(bb[inv_perm] for bb in best)
 
 
+# Closest-hit sweep strategy: True = find (min-only rounds) + identify
+# (prefix re-sweep with full epilogue); False = one full sweep with the
+# epilogue every round.  The split only pays when the identify prefix
+# shrinks well below the find worklist; r3g measured terrain-1M shrink at
+# 12.8 -> 10.8 clusters/tile and the r3o A/B put the single sweep at
+# 23.2 ms vs the split's 30.5 ms (same build, same tail) — so single
+# sweep is the default.  Module-level for perf A/Bs (clear jit caches
+# after changing).
+_FIND_IDENTIFY = False
+
+
 def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
     """Closest-hit sweep as FIND + IDENTIFY (r3f measurement: the argmin
     + one-hot u/v epilogue is ~55% of a full round's cost, but the winner
@@ -1142,6 +1169,8 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
     window sweep with t_max 0, preserving their carried best (the find
     pass proved nothing in this window beats it)."""
     o, d, t_min_t, t_max_t = rays
+    if not _FIND_IDENTIFY:
+        return _sweep(best, ccid, centry, ccnt, rays, cl_flat, False)
     bt = _sweep((best[0],), ccid, centry, ccnt, rays, cl_flat,
                 False, find=True)[0]
     improved = bt < best[0]
@@ -1152,8 +1181,6 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
     return _sweep(best, ccid, centry, jnp.minimum(ccnt_id, ccnt),
                   rays_id, cl_flat, False)
 
-
-N_WINDOWS = 4
 
 # single-level flat path below this many clusters (<= 8k tris): the
 # block machinery degenerates at 1-4 blocks, and profile_r3h measured
@@ -1218,10 +1245,12 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     """Pure-XLA trace: block windows of interval-culled cluster worklists
     + workload-sorted shrinking-prefix MT sweeps (per-ray exact).
 
-    Window 0 covers each tile's wb nearest overlapped blocks; later
-    windows (up to N_WINDOWS) run under lax.cond only while some tile
-    still has unresolved farther blocks — so miss-heavy scenes stay
-    correct without paying wb*N_WINDOWS sorting everywhere.
+    Window 0 covers each tile's wb nearest overlapped blocks; the tail is
+    a while_loop over further wb-wide windows that runs only while some
+    tile still has unresolved farther blocks, normally on a compacted
+    live-tile prefix — so miss-heavy scenes stay correct without paying
+    full-width sorting everywhere, and coverage is structurally complete
+    at any scene size.
 
     Scenes at <= _FLAT_MAX_CLUSTERS clusters take the single-level flat
     path (static shape-derived choice).
@@ -1258,71 +1287,86 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     else:
         best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
 
-    def live_mask(w0, best_t):
-        """Per-tile 'still needs blocks ranked >= w0' mask."""
-        has_more = bcnt > w0
-        if occlusion:
-            return has_more & jnp.any(best_t > 0.0, axis=1)
-        col = skey[:, jnp.minimum(w0, bp - 1)]
-        bound = jnp.max(jnp.minimum(best_t, t_max_t[:, :, 0]), axis=1)
-        return has_more & (col < bound)
+    # Window plan (round 3): window 0 — each tile's wb nearest blocks —
+    # runs full-width (most tiles are live there).  The TAIL is a
+    # lax.while_loop whose normal path fires ONCE: when <= K tiles are
+    # still live (measured: 10/4096 at terrain-1M, wb=32) it gathers that
+    # K-tile prefix and resolves ALL remaining blocks in one catch-all
+    # pass (affordable at K=64 rows even at thousands of clusters); while
+    # > K tiles are live it steps full-width wb windows.  Coverage is
+    # structurally complete at any scene size, and the loop body compiles
+    # ONCE instead of once per unrolled window (the axon remote compile
+    # service makes every extra instantiation minutes-slow).
+    ccid0, centry0, ccnt0 = _cluster_window(
+        sbid, skey, tb, accel, wb, 0, rays)
+    if occlusion:
+        best = _sweep(best, ccid0, centry0, ccnt0, rays, cl_flat, True)
+    else:
+        best = _sweep_closest(best, ccid0, centry0, ccnt0, rays, cl_flat)
 
-    # Window plan: the first N_WINDOWS-1 windows are wb blocks each, the
-    # LAST window covers every remaining block — so worklists can never
-    # overflow and coverage is provably complete whatever the scene size
-    # (the round-2 design capped coverage at N_WINDOWS*wb blocks and
-    # signalled the truncation through a leaked-tracer attribute).
-    starts = [w0 for w0 in range(0, bp, wb)][:N_WINDOWS]
-    widths = [wb] * len(starts)
-    widths[-1] = bp - starts[-1]
+    if bp > wb:
+        K = min(tiles, 64)
+        pad_b = (-bp) % wb
+        sbid_p = jnp.pad(sbid, ((0, 0), (0, pad_b)))
+        skey_p = jnp.pad(skey, ((0, 0), (0, pad_b)), constant_values=INF)
 
-    # Tail windows fire for a handful of grazing-frustum tiles (measured:
-    # 10/4096 tiles at terrain-1M, wb=32), but a full-width pass costs as
-    # much as window 0 (~23 ms there).  So later windows run on a
-    # COMPACTED live-tile prefix of static size K — gather the live
-    # tiles' rays/bounds/worklists, sweep only them, scatter best back —
-    # and only fall back to the full-width pass when > K tiles are live.
-    K = min(tiles, max(64, tiles // 16))
-
-    for win, (w0, ww) in enumerate(zip(starts, widths)):
-        def run_full(best, w0=w0, ww=ww):
-            ccid, centry, ccnt = _cluster_window(
-                sbid, skey, tb, accel, ww, w0, rays)
+        def win_live(w0, best_t):
+            """Per-tile 'still needs blocks ranked >= w0' mask."""
+            has_more = bcnt > w0
             if occlusion:
-                return _sweep(best, ccid, centry, ccnt, rays, cl_flat,
-                              True)
-            return _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat)
+                return has_more & jnp.any(best_t > 0.0, axis=1)
+            col = jax.lax.dynamic_slice_in_dim(skey_p, w0, 1, axis=1)[:, 0]
+            bound = jnp.max(jnp.minimum(best_t, t_max_t[:, :, 0]), axis=1)
+            return has_more & (col < bound)
 
-        if win == 0:
-            best = run_full(best)
-            continue
+        def wcond(state):
+            w0, best = state
+            return (w0 < bp) & jnp.any(win_live(w0, best[0]))
 
-        live = live_mask(w0, best[0])
-        nlive = jnp.sum(live.astype(jnp.int32))
-
-        def run_subset(best, w0=w0, ww=ww, live=live):
-            sel = jnp.argsort(jnp.logical_not(live))[:K]
-            alive = live[sel]
-            tb_s = tuple(x[sel] for x in tb)
-            rays_s = ([c[sel] for c in o], [c[sel] for c in d],
-                      t_min_t[sel], t_max_t[sel])
-            ccid, centry, ccnt = _cluster_window(
-                sbid[sel], skey[sel], tb_s, accel, ww, w0, rays_s)
-            ccnt = jnp.where(alive, ccnt, 0)   # finished prefix padding
-            best_s = tuple(b[sel] for b in best)
+        def sweep_window(best_w, rays_w, tb_w, wl, wk, alive):
+            ccid, centry, ccnt = _cluster_window_wl(
+                wl, wk, tb_w, accel, rays_w)
+            ccnt = jnp.where(alive, ccnt, 0)
             if occlusion:
-                best_s = _sweep(best_s, ccid, centry, ccnt, rays_s,
-                                cl_flat, True)
-            else:
-                best_s = _sweep_closest(best_s, ccid, centry, ccnt,
-                                        rays_s, cl_flat)
-            return tuple(b.at[sel].set(bs) for b, bs in zip(best, best_s))
+                return _sweep(best_w, ccid, centry, ccnt, rays_w,
+                              cl_flat, True)
+            return _sweep_closest(best_w, ccid, centry, ccnt, rays_w,
+                                  cl_flat)
 
-        best = jax.lax.cond(
-            nlive == 0,
-            lambda b: b,
-            lambda b: jax.lax.cond(nlive <= K, run_subset, run_full, b),
-            best)
+        def wbody(state):
+            w0, best = state
+            live = win_live(w0, best[0])
+            nlive = jnp.sum(live.astype(jnp.int32))
+
+            def run_catchall(best):
+                # <= K tiles still live: gather them and resolve ALL
+                # remaining blocks in ONE pass over ranks [wb, bp) —
+                # a static-width window, so the loop finishes next test.
+                # (Ranks [wb, w0) may be re-swept: exact — best-t only
+                # tightens and occlusion is idempotent.)
+                sel = jnp.argsort(jnp.logical_not(live))[:K]
+                rays_s = ([c[sel] for c in o], [c[sel] for c in d],
+                          t_min_t[sel], t_max_t[sel])
+                tb_s = tuple(x[sel] for x in tb)
+                wl = sbid_p[sel][:, wb:]
+                wk = skey_p[sel][:, wb:] < INF
+                best_s = sweep_window(tuple(b[sel] for b in best),
+                                      rays_s, tb_s, wl, wk, live[sel])
+                best = tuple(b.at[sel].set(bs)
+                             for b, bs in zip(best, best_s))
+                return jnp.int32(bp), best
+
+            def run_full(best):
+                # > K tiles live (right after window 0 on frustum-heavy
+                # scenes): one more full-width wb window, then re-test.
+                wl = jax.lax.dynamic_slice_in_dim(sbid_p, w0, wb, axis=1)
+                wk = jax.lax.dynamic_slice_in_dim(
+                    skey_p, w0, wb, axis=1) < INF
+                return w0 + wb, sweep_window(best, rays, tb, wl, wk, live)
+
+            return jax.lax.cond(nlive <= K, run_catchall, run_full, best)
+
+        _, best = jax.lax.while_loop(wcond, wbody, (jnp.int32(wb), best))
 
     out = tuple(bb.reshape(n_pad)[:n] for bb in best)
     return out

@@ -306,3 +306,32 @@ def test_reuse_ablation_toggles_run():
         img = np.asarray(r.radiance())
         assert np.isfinite(img).all()
         assert img.mean() > 0.05
+
+
+def test_trace_dispatch_chunked_parity(monkeypatch):
+    """Batches beyond _TRACE_CHUNK_RAYS run as sequential lax.map chunks
+    (the 1080p pass-3 OOM fix): results must match the unchunked trace
+    exactly, on both the brute and stream dispatch paths, including the
+    alignment padding of a non-multiple ray count."""
+    from royaltracer_dx_tpu.ops import stream_trace as st
+
+    scene = cornell_box(emission=18.0).flatten(build_stream=True)
+    rng = np.random.default_rng(11)
+    n = 1000   # not a multiple of 128 — exercises pad + slice
+    o = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    t_max = jnp.asarray(rng.uniform(0.3, 2.0, n), jnp.float32)
+
+    for traversal in ("brute", "stream"):
+        cfg = RenderConfig(width=8, height=8, traversal=traversal)
+        plain_c = restir.trace_closest(scene, o, d, cfg)
+        plain_a = restir.trace_occluded(scene, o, d, 1e-4, t_max, cfg)
+        monkeypatch.setattr(restir, "_TRACE_CHUNK_RAYS", 256)
+        chunk_c = restir.trace_closest(scene, o, d, cfg)
+        chunk_a = restir.trace_occluded(scene, o, d, 1e-4, t_max, cfg)
+        monkeypatch.undo()
+        for k in plain_c:
+            assert np.array_equal(np.asarray(plain_c[k]),
+                                  np.asarray(chunk_c[k])), (traversal, k)
+        assert np.array_equal(np.asarray(plain_a), np.asarray(chunk_a))
