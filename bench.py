@@ -126,17 +126,23 @@ def main():
 
     # realistic shadow batch: rays from the primary hit points to a light
     # INSIDE the hill field (16% occluded — r2's skylight batch had ~0%
-    # occlusion and graded the worst case); reversed-segment trace
-    # (far endpoints share the emitter, so tiles become tight cones)
+    # occlusion and graded the worst case).  Forward segments: with the
+    # exact per-ray block cull, reversed tracing lost its round-2 edge
+    # (r3p2 grid).  The VERDICT #4 comparison (ShadowRay.hlsl should be
+    # the CHEAP query) is anyhit vs closest ON THE SAME segments.
     lp = jnp.asarray([0.0, 0.9, 0.0])
     p = origins + dirs * (jnp.minimum(t_hit, 2.0)[:, None] * 0.999)
     ld = lp[None, :] - p
     dist = jnp.linalg.norm(ld, axis=1, keepdims=True)
     ld = ld / jnp.maximum(dist, 1e-6)
     f_any = jax.jit(lambda o, d, tm: st.any_hit_stream_xla(
-        o, d, accel, 1e-3, tm, presort=True, reverse=True))
+        o, d, accel, 1e-3, tm, presort=True))
     dt_a, occ_a = _timed(f_any, p, ld, dist[:, 0] - 1e-3,
                          label="terrain_anyhit")
+    f_cs = jax.jit(lambda o, d, tm: st.closest_hit_stream_xla(
+        o, d, accel, 1e-3, tm, presort=True).t)
+    dt_cs, _ = _timed(f_cs, p, ld, dist[:, 0] - 1e-3,
+                      label="terrain_closest_on_shadow_batch")
     extra["terrain_1m"] = {
         "tris": int(tris.shape[0]),
         "build_s_cold": round(build_s, 2),
@@ -144,6 +150,7 @@ def main():
         "closest_mrays": round(mrays_closest, 2),
         "anyhit_mrays": round(n / dt_a / 1e6, 2),
         "anyhit_occ_frac": round(float(np.mean(np.asarray(occ_a))), 3),
+        "closest_on_shadow_batch_mrays": round(n / dt_cs / 1e6, 2),
     }
 
     # ---- build-quality comparison (VERDICT r2 #3): device median (the

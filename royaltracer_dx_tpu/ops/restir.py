@@ -161,16 +161,16 @@ def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     if mode == "stream":
-        # reverse=True: shadow segments trace from their FAR endpoint
-        # (identical result — segment occlusion is symmetric).  NEE/
-        # visibility far endpoints are light samples clustered on a few
-        # emitters, so reversed tiles share a near-common origin and cull
-        # far harder (measured 5.6 -> 7.1 Mrays/s at terrain-1M).
+        # reverse=False: reversed far-endpoint tracing was a round-2 win
+        # (5.6 -> 7.1 Mrays/s) ONLY because tile-interval block culling
+        # degenerated on long forward segments; with the exact per-ray
+        # block cull (r3p2 grid) forward wins on every batch (skylight
+        # 24.5 vs 27.1 ms, in-field 29.4 vs 30.9 at terrain-1M).
         def one(o, d, tn, tx):
             return any_hit_stream_xla(o, d, scene.stream, tn, tx,
                                       wb=cfg.stream_wb,
                                       presort=_wants_presort(scene),
-                                      reverse=not _is_flat(scene))
+                                      reverse=False)
     elif mode == "bvh":
         def one(o, d, tn, tx):
             return any_hit_bvh(o, d, scene.bvh, tn, tx)

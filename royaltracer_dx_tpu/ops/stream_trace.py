@@ -736,13 +736,20 @@ def _segment_sizes(tiles: int, factor: int = 4) -> list:
     return sizes
 
 
-def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel):
+def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel,
+                rays=None):
     """Per-tile near-to-far block ordering (computed once per trace).
 
     Rays with t_max <= t_min (masked/padding rays) are excluded from the
-    tile interval bounds so dead lanes don't fatten the frustum.  Returns
-    (sbid [tiles, B] i32, skey [tiles, B] f32 entry lbs with INF for
-    non-overlap, bcnt [tiles], tile interval bounds)."""
+    tile interval bounds so dead lanes don't fatten the frustum.  With
+    ``rays`` (tile-layout planes) every interval-passing block is
+    additionally slab-tested per RAY — decisive for long-segment batches
+    (a shadow tile toward a distant light is a 30-unit tube whose
+    interval test passes half the block list; the exact union is a
+    handful — r3p measured the skylight occlusion at 53.8 ms interval-
+    only), and bit-identical by the conservative-superset argument.
+    Returns (sbid [tiles, B] i32, skey [tiles, B] f32 entry lbs with INF
+    for non-overlap, bcnt [tiles], tile interval bounds)."""
     n = origins.shape[0]
     tiles = n // TILE
     b = accel.num_blocks
@@ -762,11 +769,42 @@ def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel):
 
     ok, entry = _interval_slab(
         o_lo, o_hi, d_lo, d_hi, accel.top_lo, accel.top_hi, t_lo, t_hi)
+    if rays is not None:
+        rpass, rentry = _per_ray_top_cull(rays, accel.top_lo, accel.top_hi)
+        ok = ok & rpass
+        entry = rentry
     key = jnp.where(ok, entry, INF)
     bid = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], key.shape)
     skey, sbid = jax.lax.sort((key, bid), dimension=1, num_keys=1)
     bcnt = jnp.sum(ok.astype(jnp.int32), axis=1)
     return sbid, skey, bcnt, (o_lo, o_hi, d_lo, d_hi, t_lo, t_hi)
+
+
+def _per_ray_top_cull(rays, top_lo, top_hi):
+    """Exact per-ray slab vs every block AABB, reduced per tile.
+
+    rays: tile-layout planes (3 x [tiles, R, 1], t_min/t_max
+    [tiles, R, 1]); top_lo/top_hi [B, 3].  Returns (pass [tiles, B],
+    entry [tiles, B] — min slab entry over passing rays, INF where
+    none).  Fuses into the two reductions like _per_ray_box_cull."""
+    o, d, t_min_t, t_max_t = rays
+    tiles = o[0].shape[0]
+    b = top_lo.shape[0]
+    live = t_max_t > t_min_t                              # [tiles, R, 1]
+    tn = jnp.broadcast_to(t_min_t, t_min_t.shape[:2] + (b,))
+    tf = jnp.broadcast_to(t_max_t, t_max_t.shape[:2] + (b,))
+    for c in range(3):
+        lo_c = top_lo[None, None, :, c]
+        hi_c = top_hi[None, None, :, c]
+        inv = _safe_inv(d[c])
+        t0 = (lo_c - o[c]) * inv
+        t1 = (hi_c - o[c]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & live
+    rpass = jnp.any(ok, axis=1)                           # [tiles, B]
+    entry = jnp.min(jnp.where(ok, jnp.maximum(tn, 0.0), INF), axis=1)
+    return rpass, entry
 
 
 def _cluster_window(sbid, skey, tb, accel: StreamAccel, wb: int, w0: int,
@@ -1270,14 +1308,15 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     tiles = n_pad // TILE
     bp = accel.num_blocks
 
-    sbid, skey, bcnt, tb = _block_sort(origins, dirs, t_min, t_max, accel)
-
     o = [origins[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
     d = [dirs[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
     t_min_t = t_min.reshape(tiles, TILE)[..., None]
     t_max_t = t_max.reshape(tiles, TILE)[..., None]
     rays = (o, d, t_min_t, t_max_t)
     cl_flat = accel.cl_flat
+
+    sbid, skey, bcnt, tb = _block_sort(origins, dirs, t_min, t_max, accel,
+                                       rays)
 
     zero = jnp.zeros((tiles, TILE), jnp.float32)
     if occlusion:
