@@ -85,7 +85,8 @@ class RenderConfig:
     #             round-1 scheme, superseded by "stream")
     # "bvh"     = LBVH skip-link traversal (legacy; gather-bound on TPU)
     traversal: str = "auto"
-    stream_wb: int = 64       # stream: block-worklist window width
+    stream_wb: int = 16       # stream: block-worklist window width (r3q: 16
+                              # beat 32/8 with the exact per-ray block cull)
     # GI wavefront compaction (SURVEY §7 Stage 3): "auto" = on for
     # stream-accelerated (big) scenes where a bounce costs enough to pay
     # the partition; "on"/"off" force it.  Bit-identical results.

@@ -1010,10 +1010,14 @@ def _mt_planes(o, d, p, t_min, t_max):
 
 # clusters per sweep round by workload-sorted segment tier (full width,
 # >256 tiles, >32, tail).  pair*G is the MT lane width; wider rounds cut
-# the serial round count at the cost of up to pair-1 clusters of overshoot
-# per tile.  Module-level so perf scripts can sweep it (clear jit caches
-# after changing).
-_PAIR_SCHEDULE = (2, 4, 8, 16)
+# the serial round count at the cost of up to pair-1 clusters of
+# overshoot per tile.  (1, 1, 4, 8) measured best on terrain-1M wb=16
+# (r3s sweep: 16.4 ms vs 21.0 at the old (2, 4, 8, 16)): half the
+# worklists hold <= 6 clusters, so pair-1 rounds at the wide tiers beat
+# both the overshoot and the 128-lane epilogue cost, and only the tiny
+# tail segments (grazing frusta, hundreds of clusters) pay for width.
+# Module-level so perf scripts can sweep it (clear jit caches after).
+_PAIR_SCHEDULE = (1, 1, 4, 8)
 # workload-sorted segment shrink factor (4 = coarse, 2 = finer prefixes:
 # less within-segment imbalance, more loop instances).  Measured on the
 # real terrain-1M worklists (scripts/profile_r3c.py cost sim): factor 2 =
@@ -1426,7 +1430,7 @@ def coherence_order(origins, dirs, accel: StreamAccel):
 
 
 def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                           t_min=1e-4, t_max=1e4, wb: int = 64,
+                           t_min=1e-4, t_max=1e4, wb: int = 16,
                            presort: bool = False) -> Hit:
     """Closest hit via the pure-XLA stream traversal (default path)."""
     if presort:
@@ -1460,7 +1464,7 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
 
 
 def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
-                       t_min, t_max, wb: int = 64,
+                       t_min, t_max, wb: int = 16,
                        presort: bool = False,
                        reverse: bool = False) -> jax.Array:
     """Occlusion query via the pure-XLA stream traversal.
