@@ -118,15 +118,15 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel.
 
     ``coherent=False`` marks batches whose 64-ray tiles have wide frusta
-    (BSDF-sampled continuation directions).  The flat path's lockstep
-    sweep pays the per-tile UNION of overlapped clusters — measured
-    108 ns/ray on 1080p GI continuations vs brute's coherence-insensitive
-    37 (scripts/profile_r3l/r3m) — so scattered batches at flat-path
-    scene sizes take the dense brute sweep (identical results; brute IS
-    the exactness oracle)."""
+    (BSDF-sampled continuation directions).  Round 3 first demoted those
+    to brute at flat-path scene sizes (the lockstep sweep paid the
+    per-tile UNION of overlapped clusters: 108 ns/ray vs brute's 37 on
+    1080p GI continuations), but the (1, 1, 4, 8) pair schedule + exact
+    per-ray culls reversed it — r3m re-measured the same batch at
+    26.8 ns/ray flat vs 36.6 brute — so the stream path now takes every
+    batch.  The hint is kept for future dispatch decisions."""
+    del coherent
     mode = _resolve_accel(scene, cfg)
-    if mode == "stream" and not coherent and _is_flat(scene):
-        mode = "brute"
     n = origins.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

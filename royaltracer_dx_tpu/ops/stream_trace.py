@@ -1472,16 +1472,16 @@ def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
     "Occluded" is encoded as best_t forced to 0 during the sweep.
 
     ``reverse=True`` traces each segment from its FAR endpoint toward the
-    origin — segment occlusion is symmetric, so the result is identical
-    (same triangles, same epsilon margins at both ends).  For NEE/shadow
-    batches the far endpoints are light samples clustered on a few
-    emitters, so reversed tiles share a near-common origin and the
-    interval frusta collapse to tight cones: block/cluster culling cuts
-    the worklists far harder than origin-side tiles whose origins spread
-    across the whole receiver geometry (ShadowRay.hlsl's any-hit fast
-    path, rebuilt around the tile-frustum culling model instead of
-    per-ray early-out hardware).  Combine with ``presort=True`` so tiles
-    group by direction around the shared origin."""
+    origin — segment occlusion is symmetric up to float rounding: the
+    reconstructed far origin shifts hit parameters by a few ulps, so a
+    hit within ~1e-6 (relative) of t_max can flip (measured: exactly 1
+    of 262144 segments on the garage pass-3 batch).  This was the
+    round-2 shadow fast path (reversed tiles share a near-common origin,
+    so interval frusta collapse to tight cones), but the round-3 exact
+    per-ray block cull removed the interval-frustum weakness it
+    compensated for, and forward tracing now wins on every measured
+    batch (r3p2 grid) — the dispatch traces forward; the flag remains
+    for measurement."""
     if reverse:
         n = origins.shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))

@@ -104,8 +104,7 @@ def main():
 
     # parity spot check on the batch
     ob = any_hit_brute(o_aos, d_aos, tris, tmin, tmax)
-    of = st.any_hit_stream_xla(o_aos, d_aos, accel, tmin, tmax,
-                               presort=True, reverse=True)
+    of = st.any_hit_stream_xla(o_aos, d_aos, accel, tmin, tmax)
     say("p3vis parity:", bool(np.array_equal(np.asarray(of), np.asarray(ob))),
         " occ", round(float(jnp.mean(ob.astype(jnp.float32))), 3))
 
