@@ -85,8 +85,11 @@ def _wants_presort(scene: SceneArrays) -> bool:
 # sequential lax.map chunks — one compiled body, ~parts x smaller HLO
 # temps, identical results.  (The 1080p flagship OOM: pass 3's fused 9x
 # candidate-visibility batch is 18.7M segments = a 16.6 GB pass-3 program
-# on a 15.7 GB chip; chunked it fits with headroom.)
-_TRACE_CHUNK_RAYS = 1 << 21
+# on a 15.7 GB chip; chunked it fits with headroom.)  4.2M-ray chunks ~
+# 3.4 GB of flat-sweep temps — r3i measured the in-pass chunked trace at
+# 76 ns/ray vs the 36.5 ns unit rate at 2M chunks, so fewer, larger
+# chunks claw back the map overhead.
+_TRACE_CHUNK_RAYS = 1 << 22
 
 
 def _chunked_rays(fn, n: int, args, pad_vals):
