@@ -74,6 +74,40 @@ def _timed(f, *args, reps=3, label=None):
     return min(times), r
 
 
+def _slope(step, init, reps=(2, 6), label=None):
+    """Sustained per-step time via the slope method: (T(k2)-T(k1))/(k2-k1)
+    with the step iterated inside ONE jitted fori_loop.
+
+    Direct per-dispatch timing through the tunneled chip carries ~35 ms
+    of dispatch+readback that the renderer never pays (its traces run
+    inside jitted passes): r3s measured the terrain closest trace at
+    16.4 ms sustained vs ~52 ms walled.  Throughput rows use this;
+    end-to-end frame rows keep wall timing."""
+    import jax
+    import numpy as _np
+
+    times = {}
+    for k in reps:
+        @jax.jit
+        def loop(c):
+            return jax.lax.fori_loop(0, k, lambda i, c: step(c), c)
+        r = loop(init)
+        _np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = loop(init)
+            _np.asarray(jax.tree.leaves(r)[0].ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    k1, k2 = reps
+    dt = (times[k2] - times[k1]) / (k2 - k1)
+    if label:
+        _ALL_REPS[label] = {str(k): round(t * 1e3, 2)
+                            for k, t in times.items()}
+    return dt
+
+
 def main():
     wd = _arm_watchdog()
     import jax
@@ -89,6 +123,20 @@ def main():
 
     extra: dict = {"device": str(jax.devices()[0])}
     _partial["extra"] = extra
+
+    # per-dispatch tunnel overhead (sync + readback of a tiny jit call).
+    # Wall-timed frame rows carry ~this much PER DISPATCH on top of the
+    # device compute; it varies 5-36 ms day-to-day on the tunneled chip,
+    # so cross-round wall comparisons need it (throughput rows use the
+    # slope method and exclude it).
+    f_tiny = jax.jit(lambda x: x + 1.0)
+    xt = jnp.zeros((8, 128))
+    _sync(f_tiny(xt))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _sync(f_tiny(xt))
+    extra["dispatch_overhead_ms"] = round(
+        (time.perf_counter() - t0) / 10 * 1e3, 2)
 
     # ---- config 3 headline: 1M-triangle closest-hit (stream traversal)
     v, idx = heightfield(708)
@@ -106,9 +154,11 @@ def main():
     dirs = dirs[jnp.asarray(order)]
     n = origins.shape[0]
 
-    f_closest = jax.jit(
-        lambda o, d: st.closest_hit_stream_xla(o, d, accel).t)
-    dt, t_hit = _timed(f_closest, origins, dirs, label="terrain_closest")
+    def _closest_step(o):
+        h = st.closest_hit_stream_xla(o, dirs, accel)
+        return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+    dt = _slope(_closest_step, origins, label="terrain_closest")
+    t_hit = st.closest_hit_stream_xla(origins, dirs, accel).t
     mrays_closest = n / dt / 1e6
     _partial["value"] = round(mrays_closest, 2)
     _partial["vs_baseline"] = round(mrays_closest / 100.0, 4)
@@ -124,25 +174,33 @@ def main():
     _sync(accel.top_lo)
     build_exec_s = time.perf_counter() - t0
 
-    # realistic shadow batch: rays from the primary hit points to a light
-    # INSIDE the hill field (16% occluded — r2's skylight batch had ~0%
-    # occlusion and graded the worst case).  Forward segments: with the
-    # exact per-ray block cull, reversed tracing lost its round-2 edge
-    # (r3p2 grid).  The VERDICT #4 comparison (ShadowRay.hlsl should be
-    # the CHEAP query) is anyhit vs closest ON THE SAME segments.
+    # realistic shadow batch: segments from the primary hit SURFACE
+    # points (unclamped t — a t<=2 clamp floats most points in mid-air
+    # and the batch degenerates to ~0% occlusion) to a light INSIDE the
+    # hill field (~16% occluded).  Forward segments: with the exact
+    # per-ray block cull, reversed tracing lost its round-2 edge (r3p2
+    # grid).  The VERDICT #4 comparison (ShadowRay.hlsl should be the
+    # CHEAP query) is anyhit vs closest ON THE SAME segments.
     lp = jnp.asarray([0.0, 0.9, 0.0])
-    p = origins + dirs * (jnp.minimum(t_hit, 2.0)[:, None] * 0.999)
+    t_s = jnp.where(t_hit < 1e29, t_hit, 2.0)
+    p = origins + dirs * (t_s[:, None] * 0.999)
     ld = lp[None, :] - p
     dist = jnp.linalg.norm(ld, axis=1, keepdims=True)
     ld = ld / jnp.maximum(dist, 1e-6)
-    f_any = jax.jit(lambda o, d, tm: st.any_hit_stream_xla(
-        o, d, accel, 1e-3, tm, presort=True))
-    dt_a, occ_a = _timed(f_any, p, ld, dist[:, 0] - 1e-3,
-                         label="terrain_anyhit")
-    f_cs = jax.jit(lambda o, d, tm: st.closest_hit_stream_xla(
-        o, d, accel, 1e-3, tm, presort=True).t)
-    dt_cs, _ = _timed(f_cs, p, ld, dist[:, 0] - 1e-3,
-                      label="terrain_closest_on_shadow_batch")
+    tmax_s = dist[:, 0] - 1e-3
+
+    def _any_step(o):
+        occ = st.any_hit_stream_xla(o, ld, accel, 1e-3, tmax_s,
+                                    presort=True)
+        return o + occ[:, None].astype(jnp.float32) * 1e-9
+    dt_a = _slope(_any_step, p, label="terrain_anyhit")
+    occ_a = st.any_hit_stream_xla(p, ld, accel, 1e-3, tmax_s, presort=True)
+
+    def _cs_step(o):
+        h = st.closest_hit_stream_xla(o, ld, accel, 1e-3, tmax_s,
+                                      presort=True)
+        return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+    dt_cs = _slope(_cs_step, p, label="terrain_closest_on_shadow_batch")
     extra["terrain_1m"] = {
         "tris": int(tris.shape[0]),
         "build_s_cold": round(build_s, 2),
@@ -161,9 +219,10 @@ def main():
         accel_m = st.build_stream_accel(tris, method="morton")
         _sync(accel_m.top_lo)
         build_m = time.perf_counter() - t0
-        f_cm = jax.jit(
-            lambda o, d: st.closest_hit_stream_xla(o, d, accel_m).t)
-        dt_m2, _ = _timed(f_cm, origins, dirs, label="terrain_closest_morton")
+        def _cm_step(o, a=accel_m):
+            h = st.closest_hit_stream_xla(o, dirs, a)
+            return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+        dt_m2 = _slope(_cm_step, origins, label="terrain_closest_morton")
         extra["build_quality_1m"] = {
             "median_build_s": round(build_s, 3),
             "morton_build_s": round(build_m, 3),
@@ -193,9 +252,11 @@ def main():
             ao, ad = generate_rays(aca, W, H)
             ao = ao[jnp.asarray(order)]
             ad = ad[jnp.asarray(order)]
-            f_c = jax.jit(
-                lambda o, d, a=a_acc: st.closest_hit_stream_xla(o, d, a).t)
-            a_dt, a_t = _timed(f_c, ao, ad, label=f"{aname}_closest")
+            def _ac_step(o, a=a_acc, ad=ad):
+                h = st.closest_hit_stream_xla(o, ad, a)
+                return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+            a_dt = _slope(_ac_step, ao, label=f"{aname}_closest")
+            a_t = st.closest_hit_stream_xla(ao, ad, a_acc).t
             hitfrac = float(np.mean(np.asarray(a_t) < 1e29))
             extra[f"{aname}_closest"] = {
                 "tris": int(atris.shape[0]),
@@ -208,8 +269,10 @@ def main():
         extra["asset_bench_error"] = repr(e)[:200]
 
     # ---- device refit of the 1M structure (config 5's TLAS-refit analog)
-    f_refit = jax.jit(lambda t: st.refit_stream_accel(accel, t).top_lo)
-    dt_r, _ = _timed(f_refit, tris + 0.01)
+    def _refit_step(t):
+        a2 = st.refit_stream_accel(accel, t)
+        return t + a2.top_lo[0, 0] * 1e-12
+    dt_r = _slope(_refit_step, tris + 0.01, label="refit_1m")
     extra["refit_1m_ms"] = round(dt_r * 1e3, 2)
 
     # ---- config 1: cornell megakernel

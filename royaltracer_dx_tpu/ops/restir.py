@@ -121,16 +121,17 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     """The TraceRay dispatch: pick the acceleration scheme from cfg.accel.
 
     ``coherent=False`` marks batches whose 64-ray tiles have wide frusta
-    (BSDF-sampled continuation directions).  Round 3 first demoted those
-    to brute at flat-path scene sizes (the lockstep sweep paid the
-    per-tile UNION of overlapped clusters: 108 ns/ray vs brute's 37 on
-    1080p GI continuations), but the (1, 1, 4, 8) pair schedule + exact
-    per-ray culls reversed it — r3m re-measured the same batch at
-    26.8 ns/ray flat vs 36.6 brute — so the stream path now takes every
-    batch.  The hint is kept for future dispatch decisions."""
-    del coherent
-    mode = _resolve_accel(scene, cfg)
+    (BSDF-sampled continuation directions).  At flat-path scene sizes
+    those go to brute below 1M rays and to the stream path above: the
+    (1, 1, 4, 8) schedule + exact per-ray culls made flat win the REAL
+    1080p GI continuation batch (26.8 vs 36.6 ns/ray, r3m), but its
+    fixed machinery only amortizes at scale — the r3t crossover sweep
+    measured brute <= flat for scattered batches up to 1M rays."""
     n = origins.shape[0]
+    mode = _resolve_accel(scene, cfg)
+    if (mode == "stream" and not coherent and _is_flat(scene)
+            and n < (1 << 20)):
+        mode = "brute"
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
