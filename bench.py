@@ -415,6 +415,39 @@ def main():
     except Exception as e:
         extra["rmse_error"] = repr(e)[:200]
 
+    # ---- converged DI RMSE vs the MIS-free DiOracle (the BASELINE
+    # <=5e-3 accuracy bar; VERDICT r2 #5).  The DiOracle consumes pass1's
+    # own jitted primary-hit geometry (render/di_oracle.py), so the
+    # comparison isolates the DI estimator chain (RIS + W + temporal +
+    # spatial + pairwise MIS + visibility) from ulp-level geometry
+    # divergence.  Full converged study: scripts/rmse_study.py (128^2,
+    # 2400/1200 frames -> RMSE 0.0032 no-reuse .. 0.0077 full-reuse,
+    # BASELINE.md round-3 accuracy section); this row is the bounded
+    # on-device re-measurement at 64^2.
+    try:
+        from royaltracer_dx_tpu.render.di_oracle import DiOracle
+
+        W3 = 64
+        dora = DiOracle(cornell_box(emission=18.0), hcam,
+                        RenderConfig(width=W3, height=W3))
+        for _ in range(800):
+            dora.render()
+        dimg = dora.radiance()
+        rr3 = RestirRenderer(cornell_box(emission=18.0), hcam,
+                             RenderConfig(width=W3, height=W3,
+                                          aa_jitter=False, gi_bounces=0))
+        for _ in range(400):
+            rr3.render()
+        di_img = rr3.radiance()
+        extra["rmse_di_vs_dioracle_64"] = {
+            "rmse": round(rmse(di_img, dimg), 5),
+            "rel_mean": round(rel_mean(di_img, dimg), 5),
+            "frames": [800, 400],
+            "bar": 5e-3,
+        }
+    except Exception as e:
+        extra["rmse_di_error"] = repr(e)[:200]
+
     # ---- f16 packed-record delta (VERDICT r2 #8): frame time + image
     # delta of the half-precision inter-pixel gather tables at 256^2
     try:

@@ -107,10 +107,11 @@ def main():
     real_di = restir.get_p_hat_di_p
     real_gi = restir.get_p_hat_gi_p
 
-    def stub_di(scene_, x1, n1, x2, n2, l2, outgoing, mat, use_vis, cfg_):
+    def stub_di(scene_, x1, n1, x2, n2, l2, outgoing, mat, use_vis, cfg_,
+                **kw):
         return pv.length(x2) + pv.length(x1) * 1e-9
 
-    def stub_gi(scene_, x1, n1, xn, e3, outgoing, mat, use_vis, cfg_):
+    def stub_gi(scene_, x1, n1, xn, e3, outgoing, mat, use_vis, cfg_, **kw):
         s = pv.length(xn) + pv.length(x1) * 1e-9
         return (s, s, s)
 
