@@ -119,9 +119,23 @@ def _chunk_planes(tri_verts: jax.Array, chunk: int):
     return num_chunks, (v0, e1, e2)
 
 
+def as_planes3(a):
+    """Normalize a ray argument to three [N] component planes.
+
+    Accepts either an [N, 3] AoS array (public API compatibility) or a
+    3-tuple of planes.  The planar form is the fast path on TPU: a
+    materialized [N, 3] f32 array is physically padded to 128 lanes
+    (42x memory + relayout traffic) whenever it crosses a fusion
+    boundary such as lax.map — the round-3 1080p flagship's chunked
+    in-pass traces measured 76 vs 36.5 ns/ray from exactly that."""
+    if isinstance(a, (tuple, list)):
+        return tuple(a)
+    return _split3(a, 1)
+
+
 def _ray_planes(origins, dirs):
-    o = tuple(c[:, None] for c in _split3(origins, 1))
-    d = tuple(c[:, None] for c in _split3(dirs, 1))
+    o = tuple(c[:, None] for c in as_planes3(origins))
+    d = tuple(c[:, None] for c in as_planes3(dirs))
     return o, d
 
 
@@ -137,15 +151,15 @@ def closest_hit_brute(
     """Closest hit of each ray against all triangles.
 
     Args:
-      origins, dirs: [N, 3].
+      origins, dirs: [N, 3] AoS or 3-tuples of [N] planes (see as_planes3).
       tri_verts: [T, 3, 3].
       chunk: triangles per scan step (memory knob: N*chunk temporaries).
     """
-    n = origins.shape[0]
+    o, d = _ray_planes(origins, dirs)
+    n = o[0].shape[0]
     t_count = tri_verts.shape[0]
     chunk = max(min(chunk, -(-t_count // _MIN_CHUNK) * _MIN_CHUNK), _MIN_CHUNK)
     num_chunks, tris_all = _chunk_planes(tri_verts, chunk)
-    o, d = _ray_planes(origins, dirs)
     # t_min/t_max: scalar or per-ray [N] -> [N, 1] (broadcasts vs [N, C])
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))[:, None]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))[:, None]
@@ -172,7 +186,7 @@ def closest_hit_brute(
 
     # derive carry inits from the ray arrays so their sharding/varying axes
     # match the loop outputs under shard_map (constants would be unvarying)
-    zero = origins[:, 0] * 0.0
+    zero = o[0][:, 0] * 0.0
     init = (
         zero + INF,
         zero.astype(jnp.int32),
@@ -200,11 +214,11 @@ def any_hit_brute(
 
     t_min/t_max may be per-ray [N] arrays.  Returns occluded [N] bool.
     """
-    n = origins.shape[0]
+    o, d = _ray_planes(origins, dirs)
+    n = o[0].shape[0]
     t_count = tri_verts.shape[0]
     chunk = max(min(chunk, -(-t_count // _MIN_CHUNK) * _MIN_CHUNK), _MIN_CHUNK)
     num_chunks, tris_all = _chunk_planes(tri_verts, chunk)
-    o, d = _ray_planes(origins, dirs)
     t_min = jnp.broadcast_to(jnp.asarray(t_min), (n,))[:, None]
     t_max = jnp.broadcast_to(jnp.asarray(t_max), (n,))[:, None]
 
@@ -213,7 +227,7 @@ def any_hit_brute(
         t, _, _ = _mt_chunk_planar(o, d, v0, e1, e2, t_min, t_max)
         return occluded | jnp.any(t < INF, axis=-1), None
 
-    no_hit = origins[:, 0] * 0.0 > 1.0  # varying-axes-matching False init
+    no_hit = o[0][:, 0] * 0.0 > 1.0  # varying-axes-matching False init
     if num_chunks == 1:
         occluded, _ = step(no_hit, jax.tree.map(lambda a: a[0], tris_all))
     else:

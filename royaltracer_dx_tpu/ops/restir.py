@@ -27,6 +27,7 @@ from royaltracer_dx_tpu.ops.cluster_traverse import (
 )
 from royaltracer_dx_tpu.ops.intersect import (
     any_hit_brute,
+    as_planes3,
     closest_hit_brute,
     hit_attributes_p,
     interpolate_hit,
@@ -95,8 +96,12 @@ _TRACE_CHUNK_RAYS = 1 << 22
 def _chunked_rays(fn, n: int, args, pad_vals):
     """Run per-ray trace ``fn(*args)`` over <=_TRACE_CHUNK_RAYS chunks.
 
-    args: [N, ...] arrays; pad_vals: pad constants (dirs pad 1.0, t_max
-    pads -1.0 = dead lanes, which every trace path already retires).
+    args: pytree of [N, ...] arrays (ray planes travel as tuples — never
+    materialize [N, 3] at the lax.map boundary: TPU pads a rank-2 minor
+    dim to 128 lanes, which made the round-3 fused 18.7M-segment pass-3
+    batch a 16.6 GB program and its chunked trace 2x the unit rate);
+    pad_vals: matching pytree of pad constants (dirs pad 1.0, t_max pads
+    -1.0 = dead lanes, which every trace path already retires).
     Returns fn's pytree with leading dim N."""
     if n <= _TRACE_CHUNK_RAYS:
         return fn(*args)
@@ -110,7 +115,7 @@ def _chunked_rays(fn, n: int, args, pad_vals):
                     constant_values=v)
         return a.reshape((parts, chunk) + a.shape[1:])
 
-    stacked = tuple(prep(a, v) for a, v in zip(args, pad_vals))
+    stacked = jax.tree.map(prep, tuple(args), tuple(pad_vals))
     out = jax.lax.map(lambda xs: fn(*xs), stacked)
     return jax.tree.map(
         lambda a: a.reshape((padded,) + a.shape[2:])[:n], out)
@@ -126,8 +131,13 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     (1, 1, 4, 8) schedule + exact per-ray culls made flat win the REAL
     1080p GI continuation batch (26.8 vs 36.6 ns/ray, r3m), but its
     fixed machinery only amortizes at scale — the r3t crossover sweep
-    measured brute <= flat for scattered batches up to 1M rays."""
-    n = origins.shape[0]
+    measured brute <= flat for scattered batches up to 1M rays.
+
+    origins/dirs: [N, 3] AoS or planar 3-tuples (planar is the hot path:
+    it keeps the lax.map chunk boundary free of lane-padded [N, 3]
+    buffers)."""
+    op, dp = as_planes3(origins), as_planes3(dirs)
+    n = op[0].shape[0]
     mode = _resolve_accel(scene, cfg)
     if (mode == "stream" and not coherent and _is_flat(scene)
             and n < (1 << 20)):
@@ -143,24 +153,27 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                                           presort=_wants_presort(scene))
     elif mode == "bvh":
         def one(o, d, tn, tx):
-            return closest_hit_bvh(o, d, scene.bvh, t_min=tn, t_max=tx)
+            return closest_hit_bvh(jnp.stack(o, 1), jnp.stack(d, 1),
+                                   scene.bvh, t_min=tn, t_max=tx)
     elif mode == "cluster":
         def one(o, d, tn, tx):
-            return closest_hit_clustered(o, d, scene.clusters,
+            return closest_hit_clustered(jnp.stack(o, 1), jnp.stack(d, 1),
+                                         scene.clusters,
                                          t_min=tn, t_max=tx,
                                          tile=cfg.cluster_tile)
     else:
         def one(o, d, tn, tx):
             return closest_hit_brute(o, d, scene.tri_verts,
                                      t_min=tn, t_max=tx)
-    return _chunked_rays(one, n, (origins, dirs, t_min, t_max),
-                         (0.0, 1.0, 0.0, -1.0))
+    return _chunked_rays(one, n, (op, dp, t_min, t_max),
+                         ((0.0,) * 3, (1.0,) * 3, 0.0, -1.0))
 
 
 def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min, t_max):
     mode = _resolve_accel(scene, cfg)
-    n = origins.shape[0]
+    op, dp = as_planes3(origins), as_planes3(dirs)
+    n = op[0].shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
@@ -177,16 +190,18 @@ def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                                       reverse=False)
     elif mode == "bvh":
         def one(o, d, tn, tx):
-            return any_hit_bvh(o, d, scene.bvh, tn, tx)
+            return any_hit_bvh(jnp.stack(o, 1), jnp.stack(d, 1),
+                               scene.bvh, tn, tx)
     elif mode == "cluster":
         def one(o, d, tn, tx):
-            return any_hit_clustered(o, d, scene.clusters, tn, tx,
+            return any_hit_clustered(jnp.stack(o, 1), jnp.stack(d, 1),
+                                     scene.clusters, tn, tx,
                                      tile=cfg.cluster_tile)
     else:
         def one(o, d, tn, tx):
             return any_hit_brute(o, d, scene.tri_verts, tn, tx)
-    return _chunked_rays(one, n, (origins, dirs, t_min, t_max),
-                         (0.0, 1.0, 0.0, -1.0))
+    return _chunked_rays(one, n, (op, dp, t_min, t_max),
+                         ((0.0,) * 3, (1.0,) * 3, 0.0, -1.0))
 
 
 def trace_closest(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
@@ -563,12 +578,13 @@ def fetch_material_p(scene: SceneArrays, mid: jax.Array) -> dict:
 
 def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                     t_min=1e-4, coherent: bool = True) -> dict:
-    """Planar trace_closest: AoS [N,3] rays in, planar hit record out
-    (pos/normal as planes; v6 semantics — no normal flip toward the ray)."""
-    hit = _closest_dispatch(scene, origins, dirs, cfg, t_min, _T_MAX,
+    """Planar trace_closest: planar (or AoS [N,3]) rays in, planar hit
+    record out (pos/normal as planes; v6 semantics — no normal flip
+    toward the ray)."""
+    o = as_planes3(origins)
+    d = as_planes3(dirs)
+    hit = _closest_dispatch(scene, o, d, cfg, t_min, _T_MAX,
                             coherent=coherent)
-    o = pv.from_aos(origins, axis=1)
-    d = pv.from_aos(dirs, axis=1)
     pos = pv.add(o, pv.scale(d, hit.t))
     normal, _, area, mid, obj = hit_attributes_p(hit, scene.tri_table)
     valid = hit.valid
@@ -593,7 +609,7 @@ def visibility_check_p(scene, x1, n1, direction, dist, cfg) -> jax.Array:
     o = pv.add(x1, pv.scale(pv.normalize(n1), S_BIAS))
     t_max = jnp.where(dist < 0.0, -1.0,
                       jnp.maximum(dist - 10.0 * S_BIAS, 2.0 * S_BIAS))
-    occ = trace_occluded(scene, pv.to_aos(o), pv.to_aos(direction),
+    occ = trace_occluded(scene, o, direction,
                          jnp.zeros_like(dist), t_max, cfg)
     return jnp.where(occ, 0.0, 1.0)
 
@@ -766,7 +782,7 @@ def bsdf_candidate_p(scene, x1, normal, outgoing, mat, strategy, seed, cfg):
     nrm_o = pv.normalize(outgoing)
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       nrm_o, normal, seed)
-    hit = trace_closest_p(scene, pv.to_aos(x1), pv.to_aos(sample), cfg,
+    hit = trace_closest_p(scene, x1, sample, cfg,
                           t_min=S_BIAS, coherent=False)
     hmat = fetch_material_p(scene, hit["mid"])
     ke = hmat["ke"]

@@ -52,7 +52,7 @@ def gi_init(scene, cfg: RenderConfig, x1, n1, outgoing, mid, seed):
     )
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, n1, seed)
-    hit = restir.trace_closest_p(scene, pv.to_aos(x1), pv.to_aos(sample), cfg,
+    hit = restir.trace_closest_p(scene, x1, sample, cfg,
                                  t_min=S_BIAS, coherent=False)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = pv.length(hmat["ke"]) > 0.0
@@ -162,7 +162,7 @@ def gi_bounce(scene, cfg: RenderConfig, st: dict, bounce: jax.Array) -> dict:
     )
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, normal, seed)
-    hit = restir.trace_closest_p(scene, pv.to_aos(origin), pv.to_aos(sample),
+    hit = restir.trace_closest_p(scene, origin, sample,
                                  cfg, t_min=S_BIAS, coherent=False)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = (pv.length(hmat["ke"]) > 0.0) & hit["valid"]
@@ -250,8 +250,8 @@ def gi_finalize(scene, cfg: RenderConfig, st: dict):
     # DEAD segment (t_max < t_min) instead of a real micro-ray — they
     # stop fattening the traversal's per-tile cull unions
     t_max = jnp.where(needs, jnp.maximum(S_BIAS, dist - S_BIAS * 5.0), 0.0)
-    occ = restir.trace_occluded(scene, pv.to_aos(st["x1_shadow"]),
-                                pv.to_aos(pv.normalize(d)), t_min, t_max, cfg)
+    occ = restir.trace_occluded(scene, st["x1_shadow"],
+                                pv.normalize(d), t_min, t_max, cfg)
     kill = needs & occ
     reservoir = dict(st["reservoir"])
     reservoir["w_sum"] = jnp.where(kill, 0.0, reservoir["w_sum"])

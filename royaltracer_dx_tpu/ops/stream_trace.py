@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from royaltracer_dx_tpu.ops.bvh import morton_codes
-from royaltracer_dx_tpu.ops.intersect import INF, Hit
+from royaltracer_dx_tpu.ops.intersect import INF, Hit, as_planes3 as _as_planes3
 
 G = 64          # triangles per cluster
 S = 32          # clusters per block  (block = 2048 triangles)
@@ -748,23 +748,26 @@ def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel,
     interval test passes half the block list; the exact union is a
     handful — r3p measured the skylight occlusion at 53.8 ms interval-
     only), and bit-identical by the conservative-superset argument.
+    origins/dirs: 3-tuples of [N] component planes.
     Returns (sbid [tiles, B] i32, skey [tiles, B] f32 entry lbs with INF
     for non-overlap, bcnt [tiles], tile interval bounds)."""
-    n = origins.shape[0]
+    n = origins[0].shape[0]
     tiles = n // TILE
     b = accel.num_blocks
-    live = (t_max > t_min).reshape(tiles, TILE, 1)
+    live = (t_max > t_min).reshape(tiles, TILE)
 
-    def bounds(a):
-        a = a.reshape(tiles, TILE, 3)
-        return (jnp.min(jnp.where(live, a, _BIG), axis=1),
-                jnp.max(jnp.where(live, a, -_BIG), axis=1))
+    def bounds(cols):
+        a = [c.reshape(tiles, TILE) for c in cols]
+        return (jnp.stack([jnp.min(jnp.where(live, c, _BIG), axis=1)
+                           for c in a], axis=-1),
+                jnp.stack([jnp.max(jnp.where(live, c, -_BIG), axis=1)
+                           for c in a], axis=-1))
 
     o_lo, o_hi = bounds(origins)
     d_lo, d_hi = bounds(dirs)
-    t_lo = jnp.min(jnp.where(live[:, :, 0],
+    t_lo = jnp.min(jnp.where(live,
                              t_min.reshape(tiles, TILE), _BIG), axis=1)
-    t_hi = jnp.max(jnp.where(live[:, :, 0],
+    t_hi = jnp.max(jnp.where(live,
                              t_max.reshape(tiles, TILE), -_BIG), axis=1)
 
     ok, entry = _interval_slab(
@@ -1032,7 +1035,7 @@ _SEGMENT_FACTOR = 2
 
 
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
-           find: bool = False):
+           find: bool = False, g: int = G, pair_schedule=None):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
     per round every live tile gathers ``pair`` cluster rows and runs dense
@@ -1084,7 +1087,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
     cl_iota = jnp.arange(n_clusters, dtype=jnp.int32)[None, :]
 
     def fetch_rows(cid):
-        """cid [size, pair] -> 9 planes of [size, 1, pair*G]."""
+        """cid [size, pair] -> 9 planes of [size, 1, pair*g]."""
         size, pr = cid.shape
         if onehot:
             oh = (cid.reshape(size * pr, 1) == cl_iota).astype(jnp.float32)
@@ -1092,8 +1095,8 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
                            precision=jax.lax.Precision.HIGHEST)
         else:
             flat = cl_flat[cid.reshape(size * pr)]
-        r3 = flat.reshape(size, pr, 9, G)
-        return [r3[:, :, kk, :].reshape(size, 1, pr * G) for kk in range(9)]
+        r3 = flat.reshape(size, pr, 9, g)
+        return [r3[:, :, kk, :].reshape(size, 1, pr * g) for kk in range(9)]
 
     k = jnp.int32(0)
     sizes = _segment_sizes(tiles, _SEGMENT_FACTOR)
@@ -1103,15 +1106,15 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
         # hundreds of clusters (grazing frusta) and serialize the sweep
         tier = (0 if size > 2048 else 1 if size > 256 else
                 2 if size > 32 else 3)
-        pair = _PAIR_SCHEDULE[tier]
+        pair = (pair_schedule or _PAIR_SCHEDULE)[tier]
         if occlusion:
             # occlusion has no near-to-far payoff (any hit retires a
             # lane), and unoccluded rays must scan their whole worklist
             # anyway — wider rounds halve the serial round count for the
             # same total MT work
-            pair = min(pair * 2, 16)
+            pair = min(pair * 2, max(1, 1024 // g))
         pair = max(1, min(pair, wcl))   # narrow worklists (prime pass)
-        lane = jax.lax.iota(jnp.int32, pair * G)[None, None, :]
+        lane = jax.lax.iota(jnp.int32, pair * g)[None, None, :]
         wl_s = ccid[:size]
         o_s = [c[:size] for c in o]
         d_s = [c[:size] for c in d]
@@ -1136,7 +1139,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
             start = jnp.minimum(kk, wcl - pair)
             col = start + jnp.arange(pair, dtype=jnp.int32)[None, :]
             in_cnt = (col >= kk) & (col < ccnt[:size, None])  # [size, pair]
-            lane_ok = jnp.repeat(in_cnt, G, axis=1)[:, None, :]
+            lane_ok = jnp.repeat(in_cnt, g, axis=1)[:, None, :]
             cut = jnp.minimum(best_t[..., None], tmax_s)
             t, u, v = _mt_planes(o_s, d_s, p, tmin_s, cut)
             t = jnp.where(active & lane_ok, t, INF)
@@ -1154,9 +1157,9 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
             v_c = jnp.sum(jnp.where(hot, v, 0.0), axis=-1)
             slot = idx
             for j in range(pair):
-                in_j = (idx >= j * G) & (idx < (j + 1) * G)
+                in_j = (idx >= j * g) & (idx < (j + 1) * g)
                 slot = jnp.where(
-                    in_j, cids[:, j:j + 1] * G + idx - j * G, slot)
+                    in_j, cids[:, j:j + 1] * g + idx - j * g, slot)
             better = t_c < best_t
             return (
                 kk + pair,
@@ -1231,39 +1234,93 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
 # tests ~640 tris/ray there (worklists mean 8.4 clusters/tile)
 _FLAT_MAX_CLUSTERS = 128
 
+# Fine flat path: re-slice the flat sweep at gf=16-triangle sub-clusters
+# (4 per stored G=64 cluster).  The coarse flat path tests ~640 tris/ray
+# on the 2.2k-tri garage (mean worklist 8.4 clusters x 64); fine culling
+# at 16-triangle granularity trades a 4x-wider per-ray box cull (an
+# ~12-op slab vs the ~40-op MT it replaces) for a ~3-4x smaller sweep.
+# Sub-cluster AABBs are derived on the fly from cl_flat (a reshape +
+# masked min/max), so refits stay consistent automatically.  None
+# disables (coarse path).
+_FLAT_FINE_G = 16
+_FLAT_FINE_PAIRS = (8, 8, 8, 8)   # 128-lane rounds at gf=16
+
+
+def _fine_tables(accel: StreamAccel, gf: int):
+    """[Cf, 9*gf] fine triangle rows + per-fine-cluster AABB planes.
+
+    Padded (perm < 0) slots are excluded from the boxes, so all-padding
+    fine clusters get empty boxes (lo=+INF > hi=-INF) and never pass the
+    cull."""
+    c = accel.num_blocks * S
+    cl = accel.cl_flat                        # [C, 9G] plane-major
+    r = cl.reshape(c, 9, G // gf, gf)
+    fine = jnp.transpose(r, (0, 2, 1, 3)).reshape(c * (G // gf), 9 * gf)
+    cf = fine.shape[0]
+    valid = accel.perm.reshape(cf, gf) >= 0
+    lo, hi = [], []
+    for k in range(3):
+        v0 = fine[:, k * gf:(k + 1) * gf]
+        v1 = v0 + fine[:, (3 + k) * gf:(4 + k) * gf]
+        v2 = v0 + fine[:, (6 + k) * gf:(7 + k) * gf]
+        mn = jnp.minimum(jnp.minimum(v0, v1), v2)
+        mx = jnp.maximum(jnp.maximum(v0, v1), v2)
+        lo.append(jnp.min(jnp.where(valid, mn, INF), axis=1))
+        hi.append(jnp.max(jnp.where(valid, mx, -INF), axis=1))
+    return fine, lo, hi
+
 
 def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
                 occlusion: bool):
     """Small-scene trace: no block level, no windows, no find+identify.
 
-    One exact per-ray slab against ALL cluster boxes (C <= 128 makes the
-    [tiles, TILE, C] cull affordable), one packed near-to-far sort, one
-    shrinking-prefix sweep over the whole worklist.  The find+identify
-    split is skipped deliberately: at small scenes the identify prefix
-    barely shrinks (garage: 7.8 of 8.4 clusters useful), so the split
-    costs more than the epilogue it saves."""
-    n = origins.shape[0]
+    One exact per-ray slab against ALL (sub-)cluster boxes, one packed
+    near-to-far sort, one shrinking-prefix sweep over the whole worklist
+    (at gf=_FLAT_FINE_G triangles per sweep round when enabled — see
+    _fine_tables).  The find+identify split is skipped deliberately: at
+    small scenes the identify prefix barely shrinks (garage: 7.8 of 8.4
+    clusters useful), so the split costs more than the epilogue it
+    saves."""
+    oc, dc = _as_planes3(origins), _as_planes3(dirs)
+    n = oc[0].shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
     if pad:
-        origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        oc = tuple(jnp.pad(c, (0, pad)) for c in oc)
+        dc = tuple(jnp.pad(c, (0, pad), constant_values=1.0) for c in dc)
         t_min = jnp.pad(t_min, (0, pad))
         t_max = jnp.pad(t_max, (0, pad), constant_values=-1.0)
     tiles = n_pad // TILE
     b = accel.num_blocks
     c_all = b * S
-    o = [origins[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
-    d = [dirs[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    o = [c.reshape(tiles, TILE)[..., None] for c in oc]
+    d = [c.reshape(tiles, TILE)[..., None] for c in dc]
     t_min_t = t_min.reshape(tiles, TILE)[..., None]
     t_max_t = t_max.reshape(tiles, TILE)[..., None]
     rays = (o, d, t_min_t, t_max_t)
 
-    boxes = jnp.broadcast_to(accel.blk_boxes[None, :, :, :S],
-                             (tiles, b, 6, S))
-    rpass, rentry = _per_ray_box_cull(rays, boxes)        # [tiles, b*S]
+    gf = _FLAT_FINE_G
+    if gf and gf < G:
+        tab, f_lo, f_hi = _fine_tables(accel, gf)
+        cf = tab.shape[0]
+        cf_pad = -(-cf // 128) * 128
+        def padp(p, v):
+            return jnp.pad(p, (0, cf_pad - cf), constant_values=v)
+        boxes = jnp.broadcast_to(
+            jnp.stack([padp(p, INF) for p in f_lo]
+                      + [padp(p, -INF) for p in f_hi],
+                      axis=0)[None, None],              # [1, 1, 6, cf_pad]
+            (tiles, 1, 6, cf_pad))
+        c_all, g_sw, cl_tab = cf_pad, gf, tab
+        pairs = _FLAT_FINE_PAIRS
+    else:
+        boxes = jnp.broadcast_to(accel.blk_boxes[None, :, :, :S],
+                                 (tiles, b, 6, S))
+        g_sw, cl_tab, pairs = G, accel.cl_flat, None
+
+    rpass, rentry = _per_ray_box_cull(rays, boxes)        # [tiles, c_all]
     cid = jnp.broadcast_to(jnp.arange(c_all, dtype=jnp.int32)[None, :],
                            (tiles, c_all))
     ckey = jnp.where(rpass, rentry, INF)
@@ -1276,8 +1333,8 @@ def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
                 zero.astype(jnp.int32) - 1, zero, zero)
     else:
         best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
-    best = _sweep(best, ccid, centry, ccnt, rays, accel.cl_flat,
-                  occlusion)
+    best = _sweep(best, ccid, centry, ccnt, rays, cl_tab,
+                  occlusion, g=g_sw, pair_schedule=pairs)
     return tuple(bb.reshape(n_pad)[:n] for bb in best)
 
 
@@ -1299,27 +1356,28 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
     """
     if accel.num_blocks * S <= _FLAT_MAX_CLUSTERS:
         return _trace_flat(origins, dirs, accel, t_min, t_max, occlusion)
-    n = origins.shape[0]
+    oc, dc = _as_planes3(origins), _as_planes3(dirs)
+    n = oc[0].shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     n_pad = -(-n // TILE) * TILE
     pad = n_pad - n
     if pad:
-        origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        oc = tuple(jnp.pad(c, (0, pad)) for c in oc)
+        dc = tuple(jnp.pad(c, (0, pad), constant_values=1.0) for c in dc)
         t_min = jnp.pad(t_min, (0, pad))
         t_max = jnp.pad(t_max, (0, pad), constant_values=-1.0)  # never hits
     tiles = n_pad // TILE
     bp = accel.num_blocks
 
-    o = [origins[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
-    d = [dirs[:, c].reshape(tiles, TILE)[..., None] for c in range(3)]
+    o = [c.reshape(tiles, TILE)[..., None] for c in oc]
+    d = [c.reshape(tiles, TILE)[..., None] for c in dc]
     t_min_t = t_min.reshape(tiles, TILE)[..., None]
     t_max_t = t_max.reshape(tiles, TILE)[..., None]
     rays = (o, d, t_min_t, t_max_t)
     cl_flat = accel.cl_flat
 
-    sbid, skey, bcnt, tb = _block_sort(origins, dirs, t_min, t_max, accel,
+    sbid, skey, bcnt, tb = _block_sort(oc, dc, t_min, t_max, accel,
                                        rays)
 
     zero = jnp.zeros((tiles, TILE), jnp.float32)
@@ -1418,12 +1476,13 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
 def coherence_order(origins, dirs, accel: StreamAccel):
     """Spatial presort permutation: morton codes of a point advanced along
     each ray, so 64-ray tiles get compact frusta whatever the caller's ray
-    order (primary pixels, GI bounces, shadow batches).  Returns (order,
-    inverse) device int32 arrays."""
+    order (primary pixels, GI bounces, shadow batches).  Accepts AoS or
+    planar rays; returns (order, inverse) device int32 arrays."""
+    o, d = _as_planes3(origins), _as_planes3(dirs)
     lo = jnp.min(accel.top_lo, axis=0)
     hi = jnp.max(accel.top_hi, axis=0)
     step = 0.25 * jnp.max(hi - lo)
-    pt = origins + dirs * step
+    pt = jnp.stack([o[c] + d[c] * step for c in range(3)], axis=-1)
     key = morton_codes(pt, lo, hi)
     order = jnp.argsort(key).astype(jnp.int32)
     return order, jnp.argsort(order).astype(jnp.int32)
@@ -1432,18 +1491,24 @@ def coherence_order(origins, dirs, accel: StreamAccel):
 def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
                            t_min=1e-4, t_max=1e4, wb: int = 16,
                            presort: bool = False) -> Hit:
-    """Closest hit via the pure-XLA stream traversal (default path)."""
+    """Closest hit via the pure-XLA stream traversal (default path).
+
+    origins/dirs: [N, 3] AoS or 3-tuples of [N] planes (the planar form
+    avoids [N, 3] lane-padding at fusion boundaries — see
+    intersect.as_planes3)."""
+    o, d = _as_planes3(origins), _as_planes3(dirs)
     if presort:
-        n = origins.shape[0]
+        n = o[0].shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-        order, inverse = coherence_order(origins, dirs, accel)
+        order, inverse = coherence_order(o, d, accel)
         # pack rays/results so each permutation is ONE wide-row gather
         # (per-ray gathers cost ~7-12 ns/row regardless of width)
-        packed = jnp.concatenate(
-            [origins, dirs, t_min[:, None], t_max[:, None]], axis=1)[order]
+        packed = jnp.stack(list(o) + list(d) + [t_min, t_max],
+                           axis=1)[order]
         hit = closest_hit_stream_xla(
-            packed[:, 0:3], packed[:, 3:6], accel,
+            tuple(packed[:, c] for c in range(3)),
+            tuple(packed[:, 3 + c] for c in range(3)), accel,
             packed[:, 6], packed[:, 7], wb, presort=False)
         res = jnp.stack(
             [hit.t, hit.tri.astype(jnp.float32), hit.u, hit.v],
@@ -1454,7 +1519,7 @@ def closest_hit_stream_xla(origins, dirs, accel: StreamAccel,
         return Hit(t=res[:, 0], tri=res[:, 1].astype(jnp.int32),
                    u=res[:, 2], v=res[:, 3])
     t, slot, u, v = _trace_stream_xla(
-        origins, dirs, accel,
+        o, d, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         False, wb)
     found = slot >= 0
@@ -1482,32 +1547,33 @@ def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
     compensated for, and forward tracing now wins on every measured
     batch (r3p2 grid) — the dispatch traces forward; the flag remains
     for measurement."""
+    o, d = _as_planes3(origins), _as_planes3(dirs)
+    n = o[0].shape[0]
     if reverse:
-        n = origins.shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         # masked rays (t_max <= t_min) must stay masked after reversal:
         # span < 0 keeps far < near, and the liveness mask below returns
         # False for them either way
         span = t_max - t_min
-        far = origins + dirs * t_max[:, None]
-        occ = any_hit_stream_xla(far, -dirs, accel,
-                                 jnp.zeros_like(span), span, wb,
+        far = tuple(o[c] + d[c] * t_max for c in range(3))
+        occ = any_hit_stream_xla(far, tuple(-d[c] for c in range(3)),
+                                 accel, jnp.zeros_like(span), span, wb,
                                  presort=presort, reverse=False)
         return occ & (span > 0.0)
     if presort:
-        n = origins.shape[0]
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-        order, inverse = coherence_order(origins, dirs, accel)
-        packed = jnp.concatenate(
-            [origins, dirs, t_min[:, None], t_max[:, None]], axis=1)[order]
-        occ = any_hit_stream_xla(packed[:, 0:3], packed[:, 3:6], accel,
-                                 packed[:, 6], packed[:, 7], wb,
+        order, inverse = coherence_order(o, d, accel)
+        packed = jnp.stack(list(o) + list(d) + [t_min, t_max],
+                           axis=1)[order]
+        occ = any_hit_stream_xla(tuple(packed[:, c] for c in range(3)),
+                                 tuple(packed[:, 3 + c] for c in range(3)),
+                                 accel, packed[:, 6], packed[:, 7], wb,
                                  presort=False)
         return occ[inverse]
     t, slot, u, v = _trace_stream_xla(
-        origins, dirs, accel,
+        o, d, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         True, wb)
     # masked rays (t_max <= t_min) start "retired" with the same t=0
