@@ -80,6 +80,48 @@ def _wants_presort(scene: SceneArrays) -> bool:
     return not _is_flat(scene)
 
 
+def resolve_closest_mode(scene: SceneArrays, cfg: RenderConfig, n: int,
+                         coherent: bool) -> str:
+    """The closest-hit dispatch DECISION, as a pure static function.
+
+    Guard-tested (tests/test_dispatch.py) so the tuned thresholds can't
+    silently reroute a product batch (VERDICT r3 #7: a compaction
+    auto-rule misfire once turned the 1080p garage frame 3.7 -> 18.4 s
+    before being caught by hand)."""
+    mode = _resolve_accel(scene, cfg)
+    if (mode == "stream" and not coherent and _is_flat(scene)
+            and n < (1 << 20)):
+        # scattered batches at flat scenes: the flat sweep pays per-tile
+        # cluster UNIONS; brute wins up to ~1M rays (r3t crossover)
+        mode = "brute"
+    return mode
+
+
+def resolve_any_mode(scene: SceneArrays, cfg: RenderConfig, n: int) -> str:
+    """The occlusion dispatch decision (pure static; guard-tested)."""
+    return _resolve_accel(scene, cfg)
+
+
+def wants_chunking(n: int) -> bool:
+    """True when a trace batch runs as sequential lax.map chunks."""
+    return n > _TRACE_CHUNK_RAYS
+
+
+def wants_gi_compaction(scene: SceneArrays, cfg: RenderConfig) -> bool:
+    """GI wavefront compaction decision (pure static; guard-tested).
+
+    Compaction pays two argsorts + full-state permutations per bounce;
+    that only amortizes against windowed-stream trace costs.  It engaged
+    on the 2.2k-tri garage once and cost 3.7 -> 18.4 s/frame (round 3) —
+    'auto' therefore requires a windowed-scale accel."""
+    if cfg.gi_compaction == "on":
+        return True
+    from royaltracer_dx_tpu.ops.stream_trace import _FLAT_MAX_CLUSTERS, S
+
+    return (cfg.gi_compaction == "auto" and scene.stream is not None
+            and scene.stream.num_blocks * S > _FLAT_MAX_CLUSTERS)
+
+
 # Trace memory scales with the ray count: the stream sweeps materialize
 # per-tile fetched cluster rows ([tiles, pair, 9, G] per round) and the
 # brute sweep a [N, tri_chunk] plane.  Batches beyond this cap run as
@@ -138,10 +180,7 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
     buffers)."""
     op, dp = as_planes3(origins), as_planes3(dirs)
     n = op[0].shape[0]
-    mode = _resolve_accel(scene, cfg)
-    if (mode == "stream" and not coherent and _is_flat(scene)
-            and n < (1 << 20)):
-        mode = "brute"
+    mode = resolve_closest_mode(scene, cfg, n, coherent)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
@@ -171,9 +210,9 @@ def _closest_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
 
 def _any_dispatch(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
                   t_min, t_max):
-    mode = _resolve_accel(scene, cfg)
     op, dp = as_planes3(origins), as_planes3(dirs)
     n = op[0].shape[0]
+    mode = resolve_any_mode(scene, cfg, n)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 

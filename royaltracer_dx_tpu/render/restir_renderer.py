@@ -956,13 +956,9 @@ class RestirRenderer:
         # trace+shade it saves is expensive (windowed stream traversal on
         # big scenes).  At flat-path scene sizes it is a catastrophic
         # loss (measured: 1080p garage frame 3.7 s -> 18.4 s when it
-        # engaged on the 2.2k-tri scene).
-        from royaltracer_dx_tpu.ops.stream_trace import (
-            _FLAT_MAX_CLUSTERS, S as _STREAM_S,
-        )
-        compact = cfg.gi_compaction == "on" or (
-            cfg.gi_compaction == "auto" and scene.stream is not None
-            and scene.stream.num_blocks * _STREAM_S > _FLAT_MAX_CLUSTERS)
+        # engaged on the 2.2k-tri scene).  Decision pinned by
+        # tests/test_dispatch.py.
+        compact = restir.wants_gi_compaction(scene, cfg)
         bounce_fn = pass1_gi_bounce_compact if compact else pass1_gi_bounce
         for b in range(cfg.gi_bounces):
             occ_dev.append(jnp.mean(st["active"].astype(jnp.float32)))
