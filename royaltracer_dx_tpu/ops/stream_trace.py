@@ -1235,14 +1235,18 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
 _FLAT_MAX_CLUSTERS = 128
 
 # Fine flat path: re-slice the flat sweep at gf=16-triangle sub-clusters
-# (4 per stored G=64 cluster).  The coarse flat path tests ~640 tris/ray
-# on the 2.2k-tri garage (mean worklist 8.4 clusters x 64); fine culling
-# at 16-triangle granularity trades a 4x-wider per-ray box cull (an
-# ~12-op slab vs the ~40-op MT it replaces) for a ~3-4x smaller sweep.
-# Sub-cluster AABBs are derived on the fly from cl_flat (a reshape +
-# masked min/max), so refits stay consistent automatically.  None
-# disables (coarse path).
-_FLAT_FINE_G = 16
+# (4 per stored G=64 cluster).  The idea: the coarse flat path tests
+# ~640 tris/ray on the 2.2k-tri garage (mean worklist 8.4 clusters x
+# 64), and 16-triangle culling should shrink the sweep ~3-4x for a
+# 4x-wider per-ray box cull.  MEASURED NEGATIVE (round 4, TPU v5e): the
+# garage-256 ReSTIR frame runs 254.9 ms fine vs 175.2 ms coarse
+# (bit-identical images) — the 4x-wider cull ([tiles, R, 256] slab) and
+# the 4x-longer packed sort cost more than the sweep shrink saves, and
+# this path carried the ENTIRE BENCH_r03 flagship regression (127.5 ->
+# 242.7 ms; it shipped in the round-3 end-of-round snapshot without a
+# TPU measurement).  Kept as a documented study behind the toggle;
+# None = coarse path (default).
+_FLAT_FINE_G = None
 _FLAT_FINE_PAIRS = (8, 8, 8, 8)   # 128-lane rounds at gf=16
 
 

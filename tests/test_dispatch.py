@@ -110,6 +110,16 @@ def test_flat_and_presort_choice(tris, flat, presort):
     assert _FLAT_MAX_CLUSTERS == 128 and S * G == 2048
 
 
+def test_flat_fine_path_stays_off():
+    """The gf=16 fine flat path is a measured NEGATIVE result (round 4:
+    garage-256 frame 254.9 ms fine vs 175.2 ms coarse, bit-identical
+    images; it carried the whole BENCH_r03 flagship regression).  It
+    must stay opt-in until a measurement says otherwise."""
+    from royaltracer_dx_tpu.ops import stream_trace as st
+
+    assert st._FLAT_FINE_G is None
+
+
 # GI compaction: 'auto' engages ONLY on windowed-scale accels.  The 2.2k
 # garage case is the round-3 misfire (3.7 -> 18.4 s/frame) — it must
 # stay False forever unless deliberately re-measured.
