@@ -182,6 +182,39 @@ def main():
     extra["dispatch_overhead_ms"] = round(
         (time.perf_counter() - t0) / 10 * 1e3, 2)
 
+    # device-state calibration: the tunneled chip's SUSTAINED rates vary
+    # up to ~1.8x process-to-process (round-4 measurements: the same
+    # garage-256 coarse pipeline walled 175 ms in one process and 314 ms
+    # in another, minutes apart).  These two primitive rates anchor every
+    # wall row so cross-round comparisons can normalize for device state.
+    try:
+        xcal = jnp.ones((16 * 1024 * 1024,), jnp.float32)
+
+        @jax.jit
+        def _ew(c):
+            return jax.lax.fori_loop(
+                0, 50, lambda i, c: c * 1.000001 + 0.5 - 0.25 * c, c)
+        np.asarray(_ew(xcal)[0])
+        t0 = time.perf_counter()
+        np.asarray(_ew(xcal)[0])
+        dt_ew = time.perf_counter() - t0
+        kcal = jnp.arange(2 * 1024 * 1024, dtype=jnp.int32)[::-1]
+
+        @jax.jit
+        def _srt(k):
+            return jax.lax.fori_loop(
+                0, 10, lambda i, c: jax.lax.sort(c ^ i), k)
+        np.asarray(_srt(kcal)[0])
+        t0 = time.perf_counter()
+        np.asarray(_srt(kcal)[0])
+        dt_s = time.perf_counter() - t0
+        extra["device_calib"] = {
+            "elementwise_gbps": round(50 * 128e6 / dt_ew / 1e9, 1),
+            "sort_2m_ms": round(dt_s / 10 * 1e3, 3),
+        }
+    except Exception as e:
+        extra["calib_error"] = repr(e)[:120]
+
     # =================== product rows (run first) ========================
 
     # ---- config 2: flagship ReSTIR on the reference scene + smoke checks
