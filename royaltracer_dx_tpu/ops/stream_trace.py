@@ -1034,6 +1034,11 @@ _PAIR_SCHEDULE = (1, 1, 4, 8)
 _SEGMENT_FACTOR = 2
 
 
+# Sweep row-fetch override for perf A/Bs (see fetch_rows in _sweep):
+# None = auto (onehot below _ONEHOT_MAX_CLUSTERS, gather above).
+_FETCH_MODE = None
+
+
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
            find: bool = False, g: int = G, pair_schedule=None):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
@@ -1082,14 +1087,25 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
     # MXU-native gather, ~100x cheaper per row at 1080p tile counts, and
     # BIT-EXACT (each output element is 1.0*x + 0.0*rest; the bf16x3
     # decomposition of HIGHEST reproduces f32 exactly — TPU smoke test).
+    # _FETCH_MODE overrides for perf A/Bs: "gather"/"onehot" force a
+    # path; "fake" broadcasts row 0 (WRONG RESULTS — timing studies only,
+    # measures the sweep with fetch cost removed).
     n_clusters = cl_flat.shape[0]
     onehot = n_clusters <= _ONEHOT_MAX_CLUSTERS
+    if _FETCH_MODE == "onehot":
+        onehot = True
+    elif _FETCH_MODE == "gather":
+        onehot = False
     cl_iota = jnp.arange(n_clusters, dtype=jnp.int32)[None, :]
 
     def fetch_rows(cid):
         """cid [size, pair] -> 9 planes of [size, 1, pair*g]."""
         size, pr = cid.shape
-        if onehot:
+        if _FETCH_MODE == "fake":
+            flat = jnp.broadcast_to(
+                cl_flat[0] + cid.reshape(size * pr, 1).astype(jnp.float32)
+                * 0.0, (size * pr, cl_flat.shape[1]))
+        elif onehot:
             oh = (cid.reshape(size * pr, 1) == cl_iota).astype(jnp.float32)
             flat = jnp.dot(oh, cl_flat,
                            precision=jax.lax.Precision.HIGHEST)
