@@ -1038,6 +1038,9 @@ _SEGMENT_FACTOR = 2
 # None = auto (onehot below _ONEHOT_MAX_CLUSTERS, gather above).
 _FETCH_MODE = None
 
+# Occlusion pair-width doubling (see _sweep); module knob for perf A/Bs.
+_OCC_PAIR_DOUBLE = True
+
 
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
            find: bool = False, g: int = G, pair_schedule=None):
@@ -1123,7 +1126,7 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
         tier = (0 if size > 2048 else 1 if size > 256 else
                 2 if size > 32 else 3)
         pair = (pair_schedule or _PAIR_SCHEDULE)[tier]
-        if occlusion:
+        if occlusion and _OCC_PAIR_DOUBLE:
             # occlusion has no near-to-far payoff (any hit retires a
             # lane), and unoccluded rays must scan their whole worklist
             # anyway — wider rounds halve the serial round count for the

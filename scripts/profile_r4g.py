@@ -131,7 +131,9 @@ def terrain():
 
 def main():
     say("device:", jax.devices()[0])
-    gather_microbench()
+    # gather_microbench() crashed the remote compile service (HTTP 413
+    # at the 131072-row table) and its small-slope numbers were noise
+    # dominated; the terrain A/B below answers the actual question.
     terrain()
 
 

@@ -292,6 +292,36 @@ def test_visibility_batch_mask_matches_unmasked():
         assert (vm[~mk] == 1.0).all()
 
 
+def test_visibility_batch_grouping_exact():
+    """Chunk-cap grouping (r4e: fused 9N pays lax.map overhead at 1080p)
+    returns bit-identical results to one fused batch."""
+    from royaltracer_dx_tpu.utils import pvec as pv
+
+    scene = cornell_box(emission=18.0).flatten()
+    cfg = RenderConfig(width=8, height=8, traversal="brute")
+    rng = np.random.default_rng(5)
+    n = 128
+
+    def vecs():
+        return tuple(jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+                     for _ in range(3))
+
+    n1 = pv.normalize(tuple(
+        jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)))
+    queries = [(vecs(), n1, vecs()) for _ in range(5)]
+
+    fused = restir.visibility_batch_p(scene, queries, cfg)
+    real_cap = restir._TRACE_CHUNK_RAYS
+    try:
+        restir._TRACE_CHUNK_RAYS = 2 * n    # force groups of 2
+        grouped = restir.visibility_batch_p(scene, queries, cfg)
+    finally:
+        restir._TRACE_CHUNK_RAYS = real_cap
+    assert len(grouped) == len(fused)
+    for a, b in zip(fused, grouped):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_reuse_ablation_toggles_run():
     """temporal_reuse=False and spatial_candidate_count=0 (the RMSE
     study's attribution ladder) render finite, light-carrying images."""
