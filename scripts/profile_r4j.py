@@ -145,11 +145,15 @@ def main():
         restir.jacobian_reconnection_p = jac or real["jac"]
         rr.update_reservoir_p = upd or real["upd"]
 
-    def run_pass3(x):
-        sd = dict(sdata)
+    p3_args = (res_di, res_gi, sdata)
+
+    def run_pass3(x, rdi=None, rgi=None, sd0=None):
+        if rdi is None:
+            rdi, rgi, sd0 = p3_args
+        sd = dict(sd0)
         sd["x1"] = tuple(c + x * 1e-20 for c in sd["x1"])
         rad, shading, out_di, out_gi = rr.pass3_spatial(
-            sa, cam, frame, dict(res_di), dict(res_gi), sd, cfg)
+            sa, cam, frame, dict(rdi), dict(rgi), sd, cfg)
         return x + rad[0, 0] * 1e-9 + out_di["w"][0] * 1e-9
 
     variants = [
@@ -170,7 +174,7 @@ def main():
         for k in CALLS:
             CALLS[k] = 0
         set_fns(**fns)
-        dt = slope(run_pass3)
+        dt = slope(run_pass3, p3_args)
         say(f"  {name:28s}: {dt*1e3:8.1f} ms   calls={dict(CALLS)}")
 
     # memoized real p_hats/jacobian: if XLA already CSEs duplicate call
@@ -178,18 +182,18 @@ def main():
     # in pass3 is worth shipping
     set_fns(vis=vis_check_stub)
 
-    def run_pass3_memo(x):
+    def run_pass3_memo(x, rdi, rgi, sd0):
         restir.get_p_hat_di_p = memo(real["p_di"])
         restir.get_p_hat_gi_p = memo(real["p_gi"])
         restir.jacobian_reconnection_p = memo(real["jac"])
         try:
-            return run_pass3(x)
+            return run_pass3(x, rdi, rgi, sd0)
         finally:
             restir.get_p_hat_di_p = real["p_di"]
             restir.get_p_hat_gi_p = real["p_gi"]
             restir.jacobian_reconnection_p = real["jac"]
 
-    dt = slope(run_pass3_memo)
+    dt = slope(run_pass3_memo, p3_args)
     say(f"  {'novis + MEMO p_hat/jac':28s}: {dt*1e3:8.1f} ms")
 
     set_fns()
@@ -203,7 +207,7 @@ def main():
         xs, ys, cfg, rr.pixel_seed(xs, ys, 3, frame))
     say(f"tries T={pidx.shape[0]} k={cfg.spatial_candidate_count}")
 
-    def run_gathers(x):
+    def run_gathers(x, packed_di, packed_gi, pidx):
         pix = (pidx + x.astype(jnp.int32) * 0) % n
         acc = x
         for tab in (packed_di, packed_gi):
@@ -214,7 +218,7 @@ def main():
                 r2 = tab[2][pix[v]].astype(jnp.float32)
                 acc = acc + r1[0, 0] * 1e-12 + r2[0, 0] * 1e-12
         return acc
-    dt = slope(run_gathers)
+    dt = slope(run_gathers, (packed_di, packed_gi, pidx))
     say(f"  {'gathers standalone (2T+12)':28s}: {dt*1e3:8.1f} ms")
 
 
