@@ -1038,12 +1038,48 @@ _SEGMENT_FACTOR = 2
 # None = auto (onehot below _ONEHOT_MAX_CLUSTERS, gather above).
 _FETCH_MODE = None
 
+# Closest-sweep epilogue strategy (module knob for perf A/Bs):
+#   "defer"  — rounds carry (t, slot) only: one min + one first-lane
+#              select per round; the winning barycentrics are
+#              reconstructed ONCE per trace from a [C*G, 9] row gather
+#              (_slot_uv).  The r4l find-only bound put the in-round
+#              argmin + one-hot u/v extraction at ~half the full sweep
+#              (15.79 ms full vs 7.68 find-only, terrain-1M 262k rays).
+#   "argmin" — legacy: full argmin + one-hot u/v extraction every round.
+# Slot selection is bit-identical between the two (first lane of the
+# round minimum, strict cross-round better) — only u/v can drift ulps
+# (same formula, different fusion context).
+_CLOSEST_EPILOGUE = "argmin"
+
 # Occlusion pair-width doubling (see _sweep); module knob for perf A/Bs.
-_OCC_PAIR_DOUBLE = True
+# Default OFF on BOTH paths (round 4, TPU v5e): the r3 hypothesis (wider
+# rounds halve the serial round count for the same MT work) lost to lane
+# overshoot everywhere it was re-measured — flat 1080p garage pass-3
+# shadow segments 70.1 ms doubled vs 46.2 undoubled (r4k), windowed
+# terrain-1M in-field shadows 22.54 ms vs 19.38 (11.63 -> 13.53 Mrays/s,
+# r4l).  Any hit retires a lane, so the overshoot never pays for itself
+# on the short (p50 ~6-19 cluster) worklists both paths actually see.
+_OCC_PAIR_DOUBLE = False
+
+
+def _slot_uv(oc, dc, slot, cl_flat, g: int = G):
+    """Barycentrics of each ray's winning sorted slot, reconstructed once
+    per trace (the "defer" closest epilogue): ONE [*, 9]-row gather from
+    the slot-major triangle table + one scalar MT evaluation per ray.
+    Misses (slot < 0) return u = v = 0 like the in-round epilogue."""
+    s = jnp.maximum(slot, 0)
+    tri_rows = jnp.swapaxes(
+        cl_flat.reshape(-1, 9, g), 1, 2).reshape(-1, 9)
+    rows = tri_rows[s]                       # [N, 9] 36 B row gather
+    p = [rows[:, k] for k in range(9)]
+    _, u, v = _mt_planes(oc, dc, p, -_BIG, INF)
+    found = slot >= 0
+    return jnp.where(found, u, 0.0), jnp.where(found, v, 0.0)
 
 
 def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
-           find: bool = False, g: int = G, pair_schedule=None):
+           find: bool = False, g: int = G, pair_schedule=None,
+           occ_double: bool | None = None, defer: bool = False):
     """Workload-sorted shrinking-prefix lockstep sweep over a cluster
     worklist (the proven phase-B machinery of ops/cluster_traverse.py):
     per round every live tile gathers ``pair`` cluster rows and runs dense
@@ -1126,11 +1162,10 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
         tier = (0 if size > 2048 else 1 if size > 256 else
                 2 if size > 32 else 3)
         pair = (pair_schedule or _PAIR_SCHEDULE)[tier]
-        if occlusion and _OCC_PAIR_DOUBLE:
-            # occlusion has no near-to-far payoff (any hit retires a
-            # lane), and unoccluded rays must scan their whole worklist
-            # anyway — wider rounds halve the serial round count for the
-            # same total MT work
+        dbl = _OCC_PAIR_DOUBLE if occ_double is None else occ_double
+        if occlusion and dbl:
+            # measured NEGATIVE on both paths (see _OCC_PAIR_DOUBLE);
+            # kept behind the knob as a documented study
             pair = min(pair * 2, max(1, 1024 // g))
         pair = max(1, min(pair, wcl))   # narrow worklists (prime pass)
         lane = jax.lax.iota(jnp.int32, pair * g)[None, None, :]
@@ -1169,6 +1204,25 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
             t_c = jnp.min(t, axis=-1)
             if find:
                 return (kk + pair, jnp.minimum(best_t, t_c))
+            if defer:
+                # (t, slot) carry: first lane of the round minimum —
+                # bit-identical slot to argmin below, u/v reconstructed
+                # once per trace (_slot_uv)
+                best_tri = st[2]
+                eq = t == t_c[..., None]
+                lidx = jnp.min(
+                    jnp.where(eq, lane, jnp.int32(pair * g)), axis=-1)
+                slot = lidx
+                for j in range(pair):
+                    in_j = (lidx >= j * g) & (lidx < (j + 1) * g)
+                    slot = jnp.where(
+                        in_j, cids[:, j:j + 1] * g + lidx - j * g, slot)
+                better = t_c < best_t
+                return (
+                    kk + pair,
+                    jnp.where(better, t_c, best_t),
+                    jnp.where(better, slot, best_tri),
+                )
             best_tri, best_u, best_v = st[2], st[3], st[4]
             idx = jnp.argmin(t, axis=-1)
             hot = idx[..., None] == lane
@@ -1233,8 +1287,10 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
     window sweep with t_max 0, preserving their carried best (the find
     pass proved nothing in this window beats it)."""
     o, d, t_min_t, t_max_t = rays
+    defer = len(best) == 2
     if not _FIND_IDENTIFY:
-        return _sweep(best, ccid, centry, ccnt, rays, cl_flat, False)
+        return _sweep(best, ccid, centry, ccnt, rays, cl_flat, False,
+                      defer=defer)
     bt = _sweep((best[0],), ccid, centry, ccnt, rays, cl_flat,
                 False, find=True)[0]
     improved = bt < best[0]
@@ -1243,7 +1299,7 @@ def _sweep_closest(best, ccid, centry, ccnt, rays, cl_flat):
     bound = jnp.max(jnp.where(improved, bump, -_BIG), axis=1)  # [tiles]
     ccnt_id = jnp.sum((centry <= bound[:, None]) & (centry < INF), axis=1)
     return _sweep(best, ccid, centry, jnp.minimum(ccnt_id, ccnt),
-                  rays_id, cl_flat, False)
+                  rays_id, cl_flat, False, defer=defer)
 
 
 # single-level flat path below this many clusters (<= 8k tris): the
@@ -1351,14 +1407,21 @@ def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
     ccnt = jnp.sum(rpass.astype(jnp.int32), axis=1)
 
     zero = jnp.zeros((tiles, TILE), jnp.float32)
+    defer = _CLOSEST_EPILOGUE == "defer"
     if occlusion:
-        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),
-                zero.astype(jnp.int32) - 1, zero, zero)
+        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),)
+    elif defer:
+        best = (zero + INF, zero.astype(jnp.int32) - 1)
     else:
         best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
     best = _sweep(best, ccid, centry, ccnt, rays, cl_tab,
-                  occlusion, g=g_sw, pair_schedule=pairs)
-    return tuple(bb.reshape(n_pad)[:n] for bb in best)
+                  occlusion, g=g_sw, pair_schedule=pairs, defer=defer)
+    out = tuple(bb.reshape(n_pad)[:n] for bb in best)
+    if not occlusion and defer:
+        u, v = _slot_uv(tuple(c[:n] for c in oc),
+                        tuple(c[:n] for c in dc), out[1], cl_tab, g=g_sw)
+        out = out + (u, v)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("occlusion", "wb"))
@@ -1404,10 +1467,12 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
                                        rays)
 
     zero = jnp.zeros((tiles, TILE), jnp.float32)
+    defer = _CLOSEST_EPILOGUE == "defer"
     if occlusion:
         # best_t > 0 means "not yet occluded"; padding rays start retired
-        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),
-                zero.astype(jnp.int32) - 1, zero, zero)
+        best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),)
+    elif defer:
+        best = (zero + INF, zero.astype(jnp.int32) - 1)
     else:
         best = (zero + INF, zero.astype(jnp.int32) - 1, zero, zero)
 
@@ -1493,6 +1558,10 @@ def _trace_stream_xla(origins, dirs, accel: StreamAccel, t_min, t_max,
         _, best = jax.lax.while_loop(wcond, wbody, (jnp.int32(wb), best))
 
     out = tuple(bb.reshape(n_pad)[:n] for bb in best)
+    if not occlusion and defer:
+        u, v = _slot_uv(tuple(c[:n] for c in oc),
+                        tuple(c[:n] for c in dc), out[1], cl_flat)
+        out = out + (u, v)
     return out
 
 
@@ -1595,7 +1664,7 @@ def any_hit_stream_xla(origins, dirs, accel: StreamAccel,
                                  accel, packed[:, 6], packed[:, 7], wb,
                                  presort=False)
         return occ[inverse]
-    t, slot, u, v = _trace_stream_xla(
+    (t,) = _trace_stream_xla(
         o, d, accel,
         jnp.asarray(t_min, jnp.float32), jnp.asarray(t_max, jnp.float32),
         True, wb)

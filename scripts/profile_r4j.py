@@ -152,7 +152,10 @@ def main():
             rdi, rgi, sd0 = p3_args
         sd = dict(sd0)
         sd["x1"] = tuple(c + x * 1e-20 for c in sd["x1"])
-        rad, shading, out_di, out_gi = rr.pass3_spatial(
+        # __wrapped__: bypass pass3's own jit so each variant's stubs are
+        # re-traced (the jitted wrapper CACHES the first variant's trace
+        # and silently ignores monkeypatches — r4j run 2)
+        rad, shading, out_di, out_gi = rr.pass3_spatial.__wrapped__(
             sa, cam, frame, dict(rdi), dict(rgi), sd, cfg)
         return x + rad[0, 0] * 1e-9 + out_di["w"][0] * 1e-9
 
