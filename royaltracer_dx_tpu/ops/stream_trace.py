@@ -1205,13 +1205,12 @@ def _sweep(best, ccid, centry, ccnt, rays, cl_flat, occlusion: bool,
             if find:
                 return (kk + pair, jnp.minimum(best_t, t_c))
             if defer:
-                # (t, slot) carry: first lane of the round minimum —
-                # bit-identical slot to argmin below, u/v reconstructed
-                # once per trace (_slot_uv)
+                # (t, slot) carry: same argmin lane select as the legacy
+                # branch (XLA's variadic reduce — measured faster than a
+                # min + eq + where-min chain, r4m), minus the one-hot u/v
+                # extraction; u/v reconstructed once per trace (_slot_uv)
                 best_tri = st[2]
-                eq = t == t_c[..., None]
-                lidx = jnp.min(
-                    jnp.where(eq, lane, jnp.int32(pair * g)), axis=-1)
+                lidx = jnp.argmin(t, axis=-1)
                 slot = lidx
                 for j in range(pair):
                     in_j = (lidx >= j * g) & (lidx < (j + 1) * g)
