@@ -1048,8 +1048,12 @@ _FETCH_MODE = None
 #   "argmin" — legacy: full argmin + one-hot u/v extraction every round.
 # Slot selection is bit-identical between the two (first lane of the
 # round minimum, strict cross-round better) — only u/v can drift ulps
-# (same formula, different fusion context).
-_CLOSEST_EPILOGUE = "argmin"
+# (same formula, different fusion context).  Separate knobs per path:
+# the flat path's short sweeps amortize the in-round epilogue
+# differently than the windowed path's many rounds (same reasoning as
+# its skipped find+identify split — see _trace_flat).
+_CLOSEST_EPILOGUE = "argmin"          # windowed path
+_CLOSEST_EPILOGUE_FLAT = "argmin"     # flat (small-scene) path
 
 # Occlusion pair-width doubling (see _sweep); module knob for perf A/Bs.
 # Default OFF on BOTH paths (round 4, TPU v5e): the r3 hypothesis (wider
@@ -1406,7 +1410,7 @@ def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
     ccnt = jnp.sum(rpass.astype(jnp.int32), axis=1)
 
     zero = jnp.zeros((tiles, TILE), jnp.float32)
-    defer = _CLOSEST_EPILOGUE == "defer"
+    defer = _CLOSEST_EPILOGUE_FLAT == "defer"
     if occlusion:
         best = (jnp.where(t_max_t[:, :, 0] > 0.0, INF, 0.0),)
     elif defer:
