@@ -1039,19 +1039,24 @@ _SEGMENT_FACTOR = 2
 _FETCH_MODE = None
 
 # Closest-sweep epilogue strategy (module knob for perf A/Bs):
-#   "defer"  — rounds carry (t, slot) only: one min + one first-lane
-#              select per round; the winning barycentrics are
-#              reconstructed ONCE per trace from a [C*G, 9] row gather
-#              (_slot_uv).  The r4l find-only bound put the in-round
-#              argmin + one-hot u/v extraction at ~half the full sweep
-#              (15.79 ms full vs 7.68 find-only, terrain-1M 262k rays).
-#   "argmin" — legacy: full argmin + one-hot u/v extraction every round.
+#   "defer"  — rounds carry (t, slot) only; the winning barycentrics
+#              are reconstructed ONCE per trace from a [C*G, 9] row
+#              gather (_slot_uv).
+#   "argmin" — full argmin + one-hot u/v extraction every round.
 # Slot selection is bit-identical between the two (first lane of the
 # round minimum, strict cross-round better) — only u/v can drift ulps
-# (same formula, different fusion context).  Separate knobs per path:
-# the flat path's short sweeps amortize the in-round epilogue
-# differently than the windowed path's many rounds (same reasoning as
-# its skipped find+identify split — see _trace_flat).
+# (same formula, different fusion context).
+#
+# MEASURED NEGATIVE both ways (round 4, TPU v5e) — "argmin" stays the
+# default on both paths and "defer" is a documented study: the r4l
+# find-only bound (7.68 ms vs 15.79 full at terrain-1M) suggested the
+# in-round epilogue was ~half the sweep, but neither defer variant
+# recovered it — min+eq+where-min lane select ran 20.7 ms terrain /
+# 103 ms garage-1080p (r4m; XLA's variadic argmin beats hand-rolled
+# select chains), and the argmin-based (t, slot) carry still ran
+# 18.5 ms vs 14.4 (r4m2).  The one-hot u/v extraction fuses into the
+# round's MT wake for ~free; the find-only gap must come from the
+# 1-array vs 4-array while_loop carry structure, not the epilogue ops.
 _CLOSEST_EPILOGUE = "argmin"          # windowed path
 _CLOSEST_EPILOGUE_FLAT = "argmin"     # flat (small-scene) path
 
