@@ -40,7 +40,12 @@ from royaltracer_dx_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 from royaltracer_dx_tpu.scene.types import SceneArrays
 from royaltracer_dx_tpu.utils import math3d as m3
 from royaltracer_dx_tpu.utils import pvec as pv
-from royaltracer_dx_tpu.utils.rng import tea_batch, tea_batch_major, tea_random
+from royaltracer_dx_tpu.utils.rng import (
+    tea_batch,
+    tea_batch_at,
+    tea_batch_major,
+    tea_random,
+)
 
 _T_MAX = 1e4
 
@@ -771,18 +776,41 @@ def get_p_hat_gi_p(scene, x1, n1, xn, e3, outgoing, mat, use_visibility,
     return f
 
 
+def nee_candidate_at_p(scene, x1, normal, outgoing, mat, seed, i):
+    """Candidate #``i`` of the SampleLightNEE batch as flat [N] planes.
+
+    Draws are ``tea_batch_at`` counters 3i/3i+1/3i+2 — bit-identical to
+    row i of ``nee_candidates_p`` — and every intermediate (light record
+    select, barycentric point, geometry term, full BSDF eval) stays [N]:
+    candidate-major [M, N] tensors pad M=4 up to the 8-sublane tile and
+    every op pays the padded traffic (see profile_r4s for the pass-3
+    analog of this cliff).  The caller advances the seed ONCE per batch
+    with ``tea_random`` (matching nee_candidates_p's advance)."""
+    u_sel = tea_batch_at(seed, 3 * i)
+    xi1 = tea_batch_at(seed, 3 * i + 1)
+    xi2 = tea_batch_at(seed, 3 * i + 2)
+    return _nee_one(scene, x1, normal, outgoing, mat, u_sel, xi1, xi2)
+
+
 def nee_candidates_p(scene, x1, normal, outgoing, mat, seed, m_count):
     """Planar, CANDIDATE-MAJOR SampleLightNEE batch (Sampler_v6.hlsl:273-396,
     visibility OFF as in SampleRIS).
 
     x1/normal/outgoing planar [N]; returns dict of [M, N] planes/vecs:
     p_hat, pdf_light (area), pdf_bsdf (area), x2, n2, emission, l_norm,
-    dist; plus the advanced seed.
+    dist; plus the advanced seed.  Hot consumers (pass1 RIS, GI bounces)
+    use the per-candidate ``nee_candidate_at_p`` instead — identical
+    values, flat [N] layout.
     """
-    lights = scene.lights
     us, seed = tea_batch_major(seed, 3 * m_count)      # [3M, N]
     u_sel, xi1, xi2 = us[0::3], us[1::3], us[2::3]
+    return _nee_one(scene, x1, normal, outgoing, mat, u_sel, xi1, xi2), seed
 
+
+def _nee_one(scene, x1, normal, outgoing, mat, u_sel, xi1, xi2):
+    """Shared SampleLightNEE body; shape-agnostic over the uniforms'
+    leading dims ([N] or [M, N])."""
+    lights = scene.lights
     rec = light_sampling.select_light_records(
         light_sampling.light_tables(lights, scene.object_to_world),
         lights.cdf, u_sel,
@@ -826,7 +854,7 @@ def nee_candidates_p(scene, x1, normal, outgoing, mat, seed, m_count):
         emission=emission,
         l_norm=l_norm,
         dist=dist,
-    ), seed
+    )
 
 
 def bsdf_candidate_p(scene, x1, normal, outgoing, mat, strategy, seed, cfg):

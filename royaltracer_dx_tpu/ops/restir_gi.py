@@ -13,8 +13,10 @@ renderer can dispatch it as small jits:
                 (:271-283)
 
 Everything runs PLANAR (component planes, utils/pvec.py) with the NEE
-candidate batch CANDIDATE-MAJOR [M, N] — see render/megakernel.py for the
-TPU layout rationale.  The carried state dict holds planar vecs.
+candidates streamed ONE AT A TIME in flat [N] layout — candidate-major
+[M, N] batches pad M=4 to the 8-sublane tile and every op pays the padded
+traffic (see restir.nee_candidate_at_p).  The carried state dict holds
+planar vecs.
 
 Deviation: when a BSDF continuation ray escapes the scene the reference
 continues from an UNINITIALIZED payload (the miss shader writes only the
@@ -31,6 +33,7 @@ from royaltracer_dx_tpu.config import EPSILON, RenderConfig, S_BIAS
 from royaltracer_dx_tpu.ops import bsdf, restir
 from royaltracer_dx_tpu.ops.reservoir import update_reservoir_p
 from royaltracer_dx_tpu.utils import pvec as pv
+from royaltracer_dx_tpu.utils.rng import tea_random
 
 _GI_KEYS = ("xn", "nn", "e3")
 
@@ -103,58 +106,64 @@ def gi_bounce(scene, cfg: RenderConfig, st: dict, bounce: jax.Array) -> dict:
     )
 
     # ---- 3a: NEE samples (SampleLightNEE_GI, solid-angle MIS; no shadow
-    # ray here — validation is deferred to gi_finalize).  All [M, N].
+    # ray here — validation is deferred to gi_finalize).  Candidates
+    # stream one at a time in flat [N] layout (bit-identical to the old
+    # candidate-major [M, N] batch, whose M=4 rows padded to 8 sublanes —
+    # see restir.nee_candidate_at_p).
     nee = cfg.nee_samples
-    cands, seed = restir.nee_candidates_p(
-        scene, origin, normal, outgoing, mat, seed, nee
-    )
-    # convert to the _GI variant's solid-angle pdfs & cosine-only G
-    cos_x = jnp.abs(pv.dot(normal, cands["l_norm"]))
-    cos_y = jnp.maximum(pv.dot(cands["n2"], pv.neg(cands["l_norm"])), 0.0)
-    dist2 = cands["dist"] ** 2
-    pdf_light_sa = jnp.where(
-        cos_y > 0.0,
-        cands["pdf_light"] * dist2 / jnp.maximum(cos_y, EPSILON),
-        0.0,
-    )
-    brdf = bsdf.eval_bsdf_blend_p(
-        mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
-        normal, cands["l_norm"], outgoing,
-    )
-    pdf_b_sa = bsdf.pdf_bsdf_blend_p(
-        mat["ks"], mat["metal"], mat["rough"], normal, cands["l_norm"], outgoing,
-    )
-    pdf_b_sa = jnp.where(jnp.isfinite(pdf_b_sa), pdf_b_sa, 0.0)
-
-    throughput_nee = pv.scale(brdf, cos_x)             # [M, N] vec
-    denom = st["acc_pdf"] * pdf_light_sa               # [M, N]
-    contrib = pv.where(
-        denom > 0.0,
-        pv.scale(pv.mul(pv.mul(cands["emission"], st["acc_f"]), throughput_nee),
-                 1.0 / jnp.maximum(denom, 1e-20)),
-        pv.splat(zero),
-    )
-    mi = pdf_light_sa / jnp.maximum(nee * pdf_light_sa + pdf_b_sa, 1e-20)
-    e_path = pv.scale(contrib, mi)
-    wi = pv.length(e_path)
-    wi = jnp.where(jnp.isfinite(wi), wi, 0.0)
+    seed_c = seed
+    _, seed = tea_random(seed)
     acc_l = st["acc_l"]
     x1_shadow = st["x1_shadow"]
     x2_shadow = st["x2_shadow"]
     shadow_o = pv.add(origin, pv.scale(pv.normalize(normal), S_BIAS))
     for j in range(nee):
-        row = lambda v: tuple(c[j] for c in v)  # noqa: E731 — [M,N] vec -> [N]
+        c = restir.nee_candidate_at_p(
+            scene, origin, normal, outgoing, mat, seed_c, j
+        )
+        # convert to the _GI variant's solid-angle pdfs & cosine-only G
+        cos_x = jnp.abs(pv.dot(normal, c["l_norm"]))
+        cos_y = jnp.maximum(pv.dot(c["n2"], pv.neg(c["l_norm"])), 0.0)
+        dist2 = c["dist"] ** 2
+        pdf_light_sa = jnp.where(
+            cos_y > 0.0,
+            c["pdf_light"] * dist2 / jnp.maximum(cos_y, EPSILON),
+            0.0,
+        )
+        brdf = bsdf.eval_bsdf_blend_p(
+            mat["kd"], mat["ks"], mat["metal"], mat["rough"], mat["lut"],
+            normal, c["l_norm"], outgoing,
+        )
+        pdf_b_sa = bsdf.pdf_bsdf_blend_p(
+            mat["ks"], mat["metal"], mat["rough"], normal, c["l_norm"],
+            outgoing,
+        )
+        pdf_b_sa = jnp.where(jnp.isfinite(pdf_b_sa), pdf_b_sa, 0.0)
+
+        throughput_nee = pv.scale(brdf, cos_x)
+        denom = st["acc_pdf"] * pdf_light_sa
+        contrib = pv.where(
+            denom > 0.0,
+            pv.scale(pv.mul(pv.mul(c["emission"], st["acc_f"]),
+                            throughput_nee),
+                     1.0 / jnp.maximum(denom, 1e-20)),
+            pv.splat(zero),
+        )
+        mi = pdf_light_sa / jnp.maximum(nee * pdf_light_sa + pdf_b_sa, 1e-20)
+        e_path = pv.scale(contrib, mi)
+        wi = pv.length(e_path)
+        wi = jnp.where(jnp.isfinite(wi), wi, 0.0)
         e_recon = pv.mul(
-            pv.scale(st["acc_f_recon"], mi[j]),
-            pv.mul(row(cands["emission"]), row(throughput_nee)),
+            pv.scale(st["acc_f_recon"], mi),
+            pv.mul(c["emission"], throughput_nee),
         )
         reservoir, took, seed = update_reservoir_p(
-            reservoir, _GI_KEYS, active & (wi[j] >= 0.0), wi[j], zero,
+            reservoir, _GI_KEYS, active & (wi >= 0.0), wi, zero,
             (st["xn"], pv.normalize(st["nn"]), e_recon), seed,
         )
-        acc_l = pv.add(acc_l, pv.where(active, row(e_path), pv.splat(zero)))
+        acc_l = pv.add(acc_l, pv.where(active, e_path, pv.splat(zero)))
         x1_shadow = pv.where(took, shadow_o, x1_shadow)
-        x2_shadow = pv.where(took, row(cands["x2"]), x2_shadow)
+        x2_shadow = pv.where(took, c["x2"], x2_shadow)
 
     # ---- 3b: BSDF continuation (SampleLightBSDF_GI)
     strategy, _, seed = bsdf.select_strategy_p(

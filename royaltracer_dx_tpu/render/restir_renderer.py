@@ -22,9 +22,12 @@ TPU layout (see render/megakernel.py for the rationale):
   * neighbor taps (temporal reprojection, spatial disk) gather ONE packed
     wide row per pixel instead of a dozen per-field row gathers (~7 ns/row
     on TPU) — int fields ride along bitcast to f32;
-  * spatial candidate tries are TRY-MAJOR [T, N] so acceptance math keeps
-    the lanes full, and the chosen <=k neighbors are extracted with
-    one-hot selects over the 9 tries, not gathers.
+  * spatial candidate tries run UNROLLED, one flat [N] pipeline per try
+    (gather 32 B accept shard -> accept chain -> claim a first-k slot);
+    [T, N] try-major tensors pad T=9 to 16 sublanes and measured ~10x
+    slower end-to-end (profile_r4s).  Chosen candidates re-gather their
+    payload shards by pixel index — narrow-row gathers are ~free
+    (profile_r4p).
 
 Intentional deviations (each documented at its site):
   * out-of-bounds reprojected pixels are rejected (the reference indexes
@@ -62,7 +65,12 @@ from royaltracer_dx_tpu.render.framebuffer import Framebuffer, accumulate
 from royaltracer_dx_tpu.scene.scene import Scene
 from royaltracer_dx_tpu.utils import math3d as m3
 from royaltracer_dx_tpu.utils import pvec as pv
-from royaltracer_dx_tpu.utils.rng import pixel_seed, tea_batch_major
+from royaltracer_dx_tpu.utils.rng import (
+    pixel_seed,
+    tea_batch_at,
+    tea_batch_major,
+    tea_random,
+)
 from royaltracer_dx_tpu.utils.image import write_png  # noqa: F401 (convenience)
 
 _DI_KEYS = ("x2", "n2", "l2")
@@ -234,22 +242,24 @@ def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig,
         mat["ks"], mat["metal"], mat["rough"], hit["normal"], outgoing, seed
     )
     m1, m2 = cfg.nee_samples_di, cfg.bsdf_samples_di
-    cands, seed = restir.nee_candidates_p(
-        scene, hit["pos"], hit["normal"], outgoing, mat, seed, m1
-    )
+    # NEE candidates stream one at a time in flat [N] layout (counters
+    # 3i..3i+2 of seed_c; bit-identical to the old [M, N] batch, whose
+    # M=4 rows padded to 8 sublanes — see nee_candidate_at_p)
+    seed_c = seed
+    _, seed = tea_random(seed)
     # wi = mi * p_hat / pdf_candidate with the balance-heuristic mi; the
     # pdf cancels algebraically (wi = p_hat / (M1*pdf_l + M2*pdf_b)), which
     # avoids the 0/0 at clamped-pdf candidates
     for i in range(m1):
-        row = lambda v: tuple(cc[i] for cc in v)  # noqa: E731
-        pdf_l = cands["pdf_light"][i]
-        pdf_b = cands["pdf_bsdf"][i]
-        p_hat = cands["p_hat"][i]
-        wi = p_hat / jnp.maximum(m1 * pdf_l + m2 * pdf_b, 1e-20)
-        ok = sampling & (p_hat > 0.0) & jnp.isfinite(wi)
+        c = restir.nee_candidate_at_p(
+            scene, hit["pos"], hit["normal"], outgoing, mat, seed_c, i
+        )
+        wi = c["p_hat"] / jnp.maximum(
+            m1 * c["pdf_light"] + m2 * c["pdf_bsdf"], 1e-20)
+        ok = sampling & (c["p_hat"] > 0.0) & jnp.isfinite(wi)
         reservoir, _, seed = update_reservoir_p(
             reservoir, _DI_KEYS, ok, wi, zero,
-            (row(cands["x2"]), row(cands["n2"]), row(cands["emission"])), seed,
+            (c["x2"], c["n2"], c["emission"]), seed,
         )
     for _ in range(m2):
         bc, seed = restir.bsdf_candidate_p(
@@ -505,7 +515,8 @@ def _pick_first_k(accept: jax.Array, k: int):
     """Indices of the first k True tries per lane: (idx [N,k], ok [N,k]).
 
     Kept in the reference [N, T] orientation for tests; the pass kernel
-    uses ``_pick_first_k_major`` below."""
+    streams the same first-k selection per try in flat [N] layout (see
+    the DI block in pass3_spatial)."""
     n = accept.shape[0]
     if k == 0:
         return (jnp.zeros((n, 0), jnp.int32), jnp.zeros((n, 0), bool))
@@ -519,7 +530,11 @@ def _pick_first_k(accept: jax.Array, k: int):
 
 
 def _pick_first_k_major(accept: jax.Array, k: int):
-    """Try-major variant: accept [T, N] -> (idx list of k [N], ok list)."""
+    """Try-major first-k pick: accept [T, N] -> (idx list of k [N], ok
+    list).  Superseded in the pass kernel by the streamed per-try claim
+    loop (same selection, flat [N] layout — profile_r4s measured the
+    [T, N] machinery ~10x slower); kept for the r3/r4 profiler scripts
+    that decompose the old pipeline."""
     c = jnp.cumsum(accept.astype(jnp.int32), axis=0)
     idxs, oks = [], []
     for v in range(k):
@@ -530,8 +545,9 @@ def _pick_first_k_major(accept: jax.Array, k: int):
 
 
 def _select_try(planes, idx_v: jax.Array):
-    """One-hot select row ``idx_v`` [N] out of a [T, N] plane (or pytree of
-    planes) — gather-free."""
+    """One-hot select row ``idx_v`` [N] out of a [T, N] plane (or pytree
+    of planes) — gather-free.  Profiler-script support (see
+    _pick_first_k_major)."""
     def sel(p):
         t_count = p.shape[0]
         acc = p[0]
@@ -542,14 +558,10 @@ def _select_try(planes, idx_v: jax.Array):
 
 
 def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
-    """TRY-MAJOR weighted-disk neighbor picks (Common_v6.hlsl:203-241).
-
-    Rows mirror-clamp at IMAGE borders exactly like the reference
-    (Common_v6.hlsl:223-236).  Under pixel-band sharding, band_h/row0
-    describe the halo-extended local window (halo >= spatial_radius, see
-    parallel/shard.py), so every globally-mirrored tap resolves to a
-    locally-present row and multi-chip taps match single-chip exactly.
-    Returns (pidx [T, N] — LOCAL indices, is_center [T, N], seed)."""
+    """TRY-MAJOR weighted-disk neighbor picks: the [T, N] batch form of
+    ``_spatial_try_at`` (identical draws/values, stacked).  Superseded in
+    the pass kernel by the per-try flat form; kept for the r3/r4 profiler
+    scripts.  Returns (pidx [T, N], is_center [T, N], advanced seed)."""
     if band_h is None:
         band_h = cfg.height
     tries = cfg.spatial_max_tries
@@ -560,59 +572,114 @@ def _spatial_tries(xs, ys, cfg, seed, row0=0, band_h=None):
     oy = (jnp.sin(ang) * r).astype(jnp.int32)
     nx = restir.mirror_clamp(xs + ox, cfg.width)
     ny = restir.mirror_clamp(ys + oy, cfg.height)      # GLOBAL row mirror
-    # single-reflection mirroring assumes radius << size; clip keeps tiny
-    # images (size < radius) in range on both axes
     nx = jnp.clip(nx, 0, cfg.width - 1)
     ly = jnp.clip(ny - row0, 0, band_h - 1)            # local window row
     is_center = (nx == xs) & (ny == ys)
     return ly * cfg.width + nx, is_center, seed
 
 
+def _spatial_try_at(xs, ys, cfg, seed, t, row0=0, band_h=None):
+    """One weighted-disk neighbor pick — try #t of the reference's spatial
+    candidate loop (Common_v6.hlsl:203-241) — as flat [N] planes.
+
+    Draws are ``tea_batch_at`` counters 2t/2t+1, bit-identical to rows
+    [2t], [2t+1] of the old try-major [2T, N] batch; the seed itself is
+    advanced ONCE per try-batch by the caller.  Flat [N] layout matters:
+    [T, N] tensors pad T=9 up to 16 sublanes and every downstream op pays
+    the padded traffic — the unrolled per-try pipeline measured ~10x
+    cheaper at 1080p (profile_r4s: 105 -> 9.5 ms).
+
+    Rows mirror-clamp at IMAGE borders exactly like the reference
+    (Common_v6.hlsl:223-236).  Under pixel-band sharding, band_h/row0
+    describe the halo-extended local window (halo >= spatial_radius, see
+    parallel/shard.py), so every globally-mirrored tap resolves to a
+    locally-present row and multi-chip taps match single-chip exactly.
+    Returns (pidx [N] — LOCAL indices, is_center [N])."""
+    if band_h is None:
+        band_h = cfg.height
+    u_r = tea_batch_at(seed, 2 * t)
+    u_a = tea_batch_at(seed, 2 * t + 1)
+    r = cfg.spatial_radius * jnp.power(u_r, cfg.spatial_exponent)
+    ang = u_a * 6.2831853
+    ox = (jnp.cos(ang) * r).astype(jnp.int32)
+    oy = (jnp.sin(ang) * r).astype(jnp.int32)
+    nx = restir.mirror_clamp(xs + ox, cfg.width)
+    ny = restir.mirror_clamp(ys + oy, cfg.height)      # GLOBAL row mirror
+    # single-reflection mirroring assumes radius << size; clip keeps tiny
+    # images (size < radius) in range on both axes
+    nx = jnp.clip(nx, 0, cfg.width - 1)
+    ly = jnp.clip(ny - row0, 0, band_h - 1)            # local window row
+    is_center = (nx == xs) & (ny == ys)
+    return ly * cfg.width + nx, is_center
+
+
 def _gi_candidates(scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys,
                    cfg, seed, row0, band_h):
-    """GI candidate picks (pass3:144-189).  Tries gather S0 (accept
-    columns) + S1 (xn/nn for the jacobian, w_sum); chosen candidates
-    gather S2 (o, e3, w, m) by pixel index.
+    """GI candidate picks (pass3:144-189), streamed per try in flat [N]
+    layout (see the DI block in pass3_spatial).  Each try gathers S0
+    (accept columns) + S1 (xn/nn for the jacobian, w_sum) and claims
+    first-k slots; the k chosen candidates re-gather all three shards by
+    pixel index (narrow-row gathers are ~free — profile_r4p).
 
-    Returns (pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed)."""
+    Returns (gi_ok, nb_gi, nb_sd_g, seed)."""
     k = cfg.spatial_candidate_count
-    pidx_g, is_center_g, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
-    g0 = packed_gi[0][pidx_g].astype(_F)                # [T, N, 8]
-    g1 = packed_gi[1][pidx_g].astype(_F)
-    g_x1 = (g0[..., 0], g0[..., 1], g0[..., 2])
-    g_n1 = (g0[..., 3], g0[..., 4], g0[..., 5])
-    g_mid = g0[..., 6].astype(_I)
-    g_xn = (g1[..., 0], g1[..., 1], g1[..., 2])
-    g_nn = (g1[..., 3], g1[..., 4], g1[..., 5])
-    g_w_sum = g1[..., 6]
-    jac = restir.jacobian_reconnection_p(g_x1, sdata["x1"], g_xn, g_nn)
-    accept_g = (
-        ~is_center_g
-        & (mat["rough"] > 0.3)
-        & ~restir.reject_distance_p(sdata["x1"], g_x1, cam_pos, 0.1)
-        & ~restir.reject_below_surface_p(
-            pv.normalize(pv.sub(g_xn, sdata["x1"])), sdata["n1"]
+    rough_ok = mat["rough"] > 0.3
+    cnt = jnp.zeros(xs.shape, _I)
+    sel_pidx = None
+    gi_ok = [jnp.zeros(xs.shape, bool) for _ in range(k)]
+    for t in range(cfg.spatial_max_tries):
+        pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
+                                              row0, band_h)
+        g0 = packed_gi[0][pidx_t].astype(_F)            # [N, 8]
+        g1 = packed_gi[1][pidx_t].astype(_F)
+        g_x1 = (g0[:, 0], g0[:, 1], g0[:, 2])
+        g_mid = g0[:, 6].astype(_I)
+        g_xn = (g1[:, 0], g1[:, 1], g1[:, 2])
+        g_nn = (g1[:, 3], g1[:, 4], g1[:, 5])
+        jac = restir.jacobian_reconnection_p(g_x1, sdata["x1"], g_xn, g_nn)
+        accept_t = (
+            ~is_center_t
+            & rough_ok
+            & ~restir.reject_distance_p(sdata["x1"], g_x1, cam_pos, 0.1)
+            & ~restir.reject_below_surface_p(
+                pv.normalize(pv.sub(g_xn, sdata["x1"])), sdata["n1"]
+            )
+            & ~restir.reject_w_sum(g1[:, 6], cfg.w_sum_threshold)
+            & (g0[:, 7] == 3.0)   # pack-baked is_valid_gi & |l1| == 0
+            & ~restir.reject_jacobian(jac, cfg.j_threshold)
+            & ~_sentinel(g_mid)
+            & (g_mid == sdata["mid"])
         )
-        & ~restir.reject_w_sum(g_w_sum, cfg.w_sum_threshold)
-        & (g0[..., 7] == 3.0)     # pack-baked is_valid_gi & |l1| == 0
-        & ~restir.reject_jacobian(jac, cfg.j_threshold)
-        & ~_sentinel(g_mid)
-        & (g_mid == sdata["mid"])
-    )
-    gi_idx, gi_ok = _pick_first_k_major(accept_g, k)
+        if sel_pidx is None:
+            # lanes with no accepted try keep try 0's pick — same garbage
+            # the old argmax-of-all-false default chose; gi_ok masks it
+            # at every consumer
+            sel_pidx = [pidx_t] * k
+        for v in range(k):
+            take = accept_t & (cnt == v)
+            sel_pidx[v] = jnp.where(take, pidx_t, sel_pidx[v])
+            gi_ok[v] = gi_ok[v] | take
+        cnt = cnt + accept_t.astype(_I)
+    _, seed = tea_random(seed)
     nb_gi, nb_sd_g = [], []
     for v in range(k):
-        sel_pidx = jnp.take_along_axis(pidx_g, gi_idx[v][None, :], 0)[0]
-        g2v = packed_gi[2][sel_pidx].astype(_F)
-        nb = _select_try(dict(xn=g_xn, nn=g_nn, w_sum=g_w_sum), gi_idx[v])
-        nb["e3"] = (g2v[..., 3], g2v[..., 4], g2v[..., 5])
-        nb["w"] = g2v[..., 6]
-        nb["m"] = g2v[..., 7]
-        nb_gi.append(nb)
-        nbs = _select_try(dict(x1=g_x1, n1=g_n1), gi_idx[v])
-        nbs["o"] = (g2v[..., 0], g2v[..., 1], g2v[..., 2])
-        nb_sd_g.append(nbs)
-    return pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed
+        g0v = packed_gi[0][sel_pidx[v]].astype(_F)
+        g1v = packed_gi[1][sel_pidx[v]].astype(_F)
+        g2v = packed_gi[2][sel_pidx[v]].astype(_F)
+        nb_gi.append(dict(
+            xn=(g1v[:, 0], g1v[:, 1], g1v[:, 2]),
+            nn=(g1v[:, 3], g1v[:, 4], g1v[:, 5]),
+            w_sum=g1v[:, 6],
+            e3=(g2v[:, 3], g2v[:, 4], g2v[:, 5]),
+            w=g2v[:, 6],
+            m=g2v[:, 7],
+        ))
+        nb_sd_g.append(dict(
+            x1=(g0v[:, 0], g0v[:, 1], g0v[:, 2]),
+            n1=(g0v[:, 3], g0v[:, 4], g0v[:, 5]),
+            o=(g2v[:, 0], g2v[:, 1], g2v[:, 2]),
+        ))
+    return gi_ok, nb_gi, nb_sd_g, seed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "band_h"))
@@ -645,33 +712,53 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     else:
         packed_di, packed_gi = packed_di_ext, packed_gi_ext
 
-    # ---- DI candidates (pass3:107-142).  The T tries gather ONLY the
-    # 32-byte S0 accept shard; the k chosen candidates then gather their
-    # S1/S2 payload rows by pixel index.  profile_r3j (1080p): 32 B-row
-    # gathers cost ~5 ns vs ~41 ns for the old 104 B full-record rows,
-    # and the 18 try-gathers were ~95% of this pass's non-trace time.
-    pidx, is_center, seed = _spatial_tries(xs, ys, cfg, seed, row0, band_h)
-    r0 = packed_di[0][pidx].astype(_F)                  # [T, N, 8]
-    c_x1 = (r0[..., 0], r0[..., 1], r0[..., 2])
-    c_n1 = (r0[..., 3], r0[..., 4], r0[..., 5])
-    c_mid = r0[..., 6].astype(_I)
-    accept = (
-        ~is_center
-        & ~restir.reject_normal_p(sdata["n1"], c_n1, 0.9)
-        & ~restir.reject_distance_p(sdata["x1"], c_x1, cam_pos, 0.1)
-        & (r0[..., 7] == 3.0)     # pack-baked is_valid_di & |l1| == 0
-        & ~_sentinel(c_mid)
-        & (c_mid == sdata["mid"])
-    )
-    di_idx, di_ok = _pick_first_k_major(accept, k)      # k x [N]
+    # ---- DI candidates (pass3:107-142), streamed per try in flat [N]
+    # layout: each try gathers ONLY the 32-byte S0 accept shard, runs the
+    # accept chain, and claims first-k slots; the k chosen candidates
+    # re-gather their S0/S1/S2 payload rows by pixel index.  Try-major
+    # [T, N] tensors pad T=9 to 16 sublanes and every downstream op pays
+    # the padding — the unrolled per-try pipeline measured ~10x cheaper
+    # (profile_r4s: 105 -> 9.5 ms at 1080p); narrow-row gathers are ~free
+    # (profile_r4p: <=0.04 ns/row from [N, 8] tables).
+    cnt = jnp.zeros(xs.shape, _I)
+    sel_pidx = None
+    di_ok = [jnp.zeros(xs.shape, bool) for _ in range(k)]
+    for t in range(cfg.spatial_max_tries):
+        pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
+                                              row0, band_h)
+        r0 = packed_di[0][pidx_t].astype(_F)            # [N, 8]
+        c_mid = r0[:, 6].astype(_I)
+        accept_t = (
+            ~is_center_t
+            & ~restir.reject_normal_p(
+                sdata["n1"], (r0[:, 3], r0[:, 4], r0[:, 5]), 0.9)
+            & ~restir.reject_distance_p(
+                sdata["x1"], (r0[:, 0], r0[:, 1], r0[:, 2]), cam_pos, 0.1)
+            & (r0[:, 7] == 3.0)   # pack-baked is_valid_di & |l1| == 0
+            & ~_sentinel(c_mid)
+            & (c_mid == sdata["mid"])
+        )
+        if sel_pidx is None:
+            # lanes with no accepted try keep try 0's pick — same garbage
+            # the old argmax-of-all-false default chose; di_ok masks it
+            # at every consumer
+            sel_pidx = [pidx_t] * k
+        for v in range(k):
+            take = accept_t & (cnt == v)
+            sel_pidx[v] = jnp.where(take, pidx_t, sel_pidx[v])
+            di_ok[v] = di_ok[v] | take
+        cnt = cnt + accept_t.astype(_I)
+    _, seed = tea_random(seed)
     nb_di, nb_sd = [], []
     for v in range(k):
-        sel_pidx = jnp.take_along_axis(pidx, di_idx[v][None, :], 0)[0]
-        r2v = packed_di[2][sel_pidx].astype(_F)
-        nb_di.append(_unpack_res(packed_di[1][sel_pidx], r2v, _DI_KEYS))
-        nb = _select_try(dict(x1=c_x1, n1=c_n1), di_idx[v])
-        nb["o"] = (r2v[..., 0], r2v[..., 1], r2v[..., 2])
-        nb_sd.append(nb)
+        r0v = packed_di[0][sel_pidx[v]].astype(_F)
+        r2v = packed_di[2][sel_pidx[v]].astype(_F)
+        nb_di.append(_unpack_res(packed_di[1][sel_pidx[v]], r2v, _DI_KEYS))
+        nb_sd.append(dict(
+            x1=(r0v[:, 0], r0v[:, 1], r0v[:, 2]),
+            n1=(r0v[:, 3], r0v[:, 4], r0v[:, 5]),
+            o=(r2v[:, 0], r2v[:, 1], r2v[:, 2]),
+        ))
 
     cap = float(cfg.spatial_m_cap)
     m_sum = jnp.minimum(cap, cur_di["m"])
@@ -690,9 +777,9 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     # p_hat_from, k GI shift targets — mutually independent; the GI
     # candidate picks happen below but depend only on the packed tables)
     # share ONE batched 3k*N shadow trace (bit-identical per query)
-    _gi_pick = _gi_candidates(scene, cur_gi, sdata, mat, packed_gi,
-                              cam_pos, xs, ys, cfg, seed, row0, band_h)
-    pidx_g, gi_idx, gi_ok, nb_gi, nb_sd_g, seed = _gi_pick
+    gi_ok, nb_gi, nb_sd_g, seed = _gi_candidates(
+        scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys, cfg, seed,
+        row0, band_h)
     vis_all = [] if k == 0 else restir.visibility_batch_p(
         scene,
         [(nb_sd[v]["x1"], nb_sd[v]["n1"], cur_di["x2"],

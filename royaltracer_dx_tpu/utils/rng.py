@@ -122,6 +122,27 @@ def tea_batch_major(seed: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return u, new_seed
 
 
+def tea_batch_at(seed: jax.Array, i: int) -> jax.Array:
+    """Draw #``i`` of ``tea_batch(seed, n)`` as a standalone plane.
+
+    Bit-identical to ``tea_batch_major(seed, n)[0][i]`` (same per-index
+    counters), but emitted as an [N]-shaped op so unrolled consumers can
+    keep every intermediate in flat [N] layout — [T, N] tensors with small
+    T round T up to the 8-sublane tile and pay padded traffic on every
+    downstream op (measured 10x on pass-3's tap pipeline, profile_r4s).
+    Does NOT advance the seed; advance once per batch with ``tea_random``.
+    """
+    i = jnp.uint32(i)
+    v0 = seed[..., 0] + i * _CTR_X
+    v1 = seed[..., 1] ^ (i * _CTR_Y)
+    s = jnp.uint32(0)
+    for _ in range(4):
+        s = s + _DELTA
+        v0 = v0 + (((v1 << 4) + _K0) ^ (v1 + s) ^ ((v1 >> 5) + _K1))
+        v1 = v1 + (((v0 << 4) + _K2) ^ (v0 + s) ^ ((v0 >> 5) + _K3))
+    return v0.astype(jnp.float32) / jnp.float32(4294967296.0)
+
+
 def pixel_seed(
     x: jax.Array, y: jax.Array, stream: int | jax.Array, time: jax.Array
 ) -> jax.Array:
