@@ -64,8 +64,12 @@ def sig_order(o, d, t_min, t_max, top_lo, top_hi, lo, hi, with_cnt):
     """Packed signature sort key: (first block, [n-blocks,] morton)."""
     n = o[0].shape[0]
     b = top_lo.shape[0]
-    tn = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32)[:, None], (n, b))
-    tf = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32)[:, None], (n, b))
+    tn = jnp.broadcast_to(
+        jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))[:, None],
+        (n, b))
+    tf = jnp.broadcast_to(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))[:, None],
+        (n, b))
     for c in range(3):
         inv = st._safe_inv(d[c])[:, None]
         t0 = (top_lo[None, :, c] - o[c][:, None]) * inv
