@@ -80,10 +80,20 @@ class StreamAccel:
     top_lo: jax.Array     # [B, 3] block AABBs
     top_hi: jax.Array     # [B, 3]
     perm: jax.Array       # [B*S*G] int32
-    blk_boxes_bf16: jax.Array  # [B, 6S] outward-rounded bf16 cluster box
-                               # rows (lo.xyz|hi.xyz groups) — fetched per
-                               # (chunk, block) pair by one-hot matmul;
-                               # conservative, so culling stays exact
+    blk_boxes_bf16: jax.Array  # [B, 11S] outward-rounded bf16 cluster box
+                               # + plane-slab rows (lo.xyz|hi.xyz|n.xyz|c|h
+                               # groups) — fetched per (chunk, block) pair
+                               # by one-hot matmul; conservative, so
+                               # culling stays exact
+    blk_planes: jax.Array  # [B, 5, 128] cluster thick-plane slabs
+                           # (n.xyz | c | h over S lanes): |n.p - c| <= h
+                           # bounds every cluster vertex; h < 0 on padding
+                           # lanes (never crossed).  Near-planar clusters
+                           # (heightfield patches, walls) have AABBs much
+                           # fatter than their geometry, and the crossing
+                           # test retires grazing rays/segments the box
+                           # test cannot (round 4; conservative => exact)
+    top_planes: jax.Array  # [B, 5] block-level thick-plane slabs
 
     @property
     def cl_flat(self) -> jax.Array:
@@ -159,13 +169,68 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     def out_hi(x):
         return (x + jnp.abs(x) * 0.008 + 1e-30).astype(jnp.bfloat16)
 
+    # --- thick-plane slabs.  n = the cluster's area-weighted mean
+    # triangle normal (sum of cross(e1, e2)), ROUNDED TO BF16 FIRST so
+    # both storage precisions test the same plane; c/h = center and
+    # half-extent of the vertex projections onto that n, computed in f32
+    # AGAINST the rounded n (so h is exact for the plane actually
+    # tested), then inflated for runtime fp error.  Degenerate clusters
+    # (folded geometry whose normals cancel) get n ~ 0 => every
+    # projection ~ 0 => the crossing test passes for every ray, i.e. the
+    # slab gracefully degrades to a no-op; padding clusters get h < 0
+    # (never crossed — their boxes already never pass).
+    nrm = jnp.cross(e1, e2)                                  # [slots, 3]
+    nsum = jnp.sum(jnp.where(pad[:, None], 0.0, nrm).reshape(b, S, G, 3),
+                   axis=2)                                   # [b, S, 3]
+    nlen = jnp.sqrt(jnp.sum(nsum * nsum, axis=-1, keepdims=True))
+    n_pl = (nsum / jnp.maximum(nlen, 1e-30)).astype(jnp.bfloat16)
+    n_f = n_pl.astype(jnp.float32)
+    vtx = tv.reshape(b, S, G, 3, 3)                          # verts, xyz
+    dproj = sum(vtx[..., c] * n_f[:, :, None, None, c] for c in range(3))
+    pad_v = pad.reshape(b, S, G)[..., None]                  # [b, S, G, 1]
+    dmin = jnp.min(jnp.where(pad_v, _BIG, dproj), axis=(2, 3))
+    dmax = jnp.max(jnp.where(pad_v, -_BIG, dproj), axis=(2, 3))
+    c_pl = (0.5 * (dmin + dmax)).astype(jnp.bfloat16)
+    c_f = c_pl.astype(jnp.float32)
+    h_pl = (jnp.maximum(dmax - c_f, c_f - dmin)
+            + jnp.maximum(jnp.abs(dmin), jnp.abs(dmax)) * 1e-5 + 1e-30)
+    h_pl = jnp.where(real_cl, h_pl, -_BIG)
+    planes5 = [n_f[:, :, 0], n_f[:, :, 1], n_f[:, :, 2], c_f, h_pl]
+    blk_planes = jnp.stack([grp(p, 0.0) for p in planes5[:4]]
+                           + [grp(h_pl, -_BIG)], axis=1)     # [b, 5, 128]
+
+    # block-level slab over the whole 2048-tri block
+    bn = jnp.sum(jnp.where(pad[:, None], 0.0, nrm).reshape(b, S * G, 3),
+                 axis=1)
+    bnlen = jnp.sqrt(jnp.sum(bn * bn, axis=-1, keepdims=True))
+    bn_f = (bn / jnp.maximum(bnlen, 1e-30)
+            ).astype(jnp.bfloat16).astype(jnp.float32)       # [b, 3]
+    bproj = sum(tv.reshape(b, S * G, 3, 3)[..., c] * bn_f[:, None, None, c]
+                for c in range(3))
+    bpad = pad.reshape(b, S * G)[..., None]
+    bdmin = jnp.min(jnp.where(bpad, _BIG, bproj), axis=(1, 2))
+    bdmax = jnp.max(jnp.where(bpad, -_BIG, bproj), axis=(1, 2))
+    bc = (0.5 * (bdmin + bdmax)).astype(jnp.bfloat16).astype(jnp.float32)
+    bh = (jnp.maximum(bdmax - bc, bc - bdmin)
+          + jnp.maximum(jnp.abs(bdmin), jnp.abs(bdmax)) * 1e-5 + 1e-30)
+    bh = jnp.where(real_blk, bh, -_BIG)
+    top_planes = jnp.stack([bn_f[:, 0], bn_f[:, 1], bn_f[:, 2], bc, bh],
+                           axis=1)                           # [b, 5]
+
+    def up_bf16(x):  # upward bf16 rounding for the slab half-widths
+        return jnp.where(x < 0.0, x,
+                         x + jnp.abs(x) * 0.008 + 1e-30).astype(jnp.bfloat16)
+
     bf = jnp.concatenate(
         [out_lo(cl_lo[:, :, 0]), out_lo(cl_lo[:, :, 1]), out_lo(cl_lo[:, :, 2]),
-         out_hi(cl_hi[:, :, 0]), out_hi(cl_hi[:, :, 1]), out_hi(cl_hi[:, :, 2])],
-        axis=1)                                              # [b, 6S]
+         out_hi(cl_hi[:, :, 0]), out_hi(cl_hi[:, :, 1]), out_hi(cl_hi[:, :, 2]),
+         n_pl[:, :, 0], n_pl[:, :, 1], n_pl[:, :, 2], c_pl,
+         up_bf16(h_pl)],
+        axis=1)                                              # [b, 11S]
     return StreamAccel(
         blk_tris=blk_tris, blk_boxes=blk_boxes,
         top_lo=top_lo, top_hi=top_hi, perm=perm, blk_boxes_bf16=bf,
+        blk_planes=blk_planes, top_planes=top_planes,
     )
 
 
@@ -773,7 +838,8 @@ def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel,
     ok, entry = _interval_slab(
         o_lo, o_hi, d_lo, d_hi, accel.top_lo, accel.top_hi, t_lo, t_hi)
     if rays is not None:
-        rpass, rentry = _per_ray_top_cull(rays, accel.top_lo, accel.top_hi)
+        rpass, rentry = _per_ray_top_cull(rays, accel.top_lo, accel.top_hi,
+                                          accel.top_planes)
         ok = ok & rpass
         entry = rentry
     key = jnp.where(ok, entry, INF)
@@ -783,13 +849,15 @@ def _block_sort(origins, dirs, t_min, t_max, accel: StreamAccel,
     return sbid, skey, bcnt, (o_lo, o_hi, d_lo, d_hi, t_lo, t_hi)
 
 
-def _per_ray_top_cull(rays, top_lo, top_hi):
+def _per_ray_top_cull(rays, top_lo, top_hi, top_planes=None):
     """Exact per-ray slab vs every block AABB, reduced per tile.
 
     rays: tile-layout planes (3 x [tiles, R, 1], t_min/t_max
-    [tiles, R, 1]); top_lo/top_hi [B, 3].  Returns (pass [tiles, B],
-    entry [tiles, B] — min slab entry over passing rays, INF where
-    none).  Fuses into the two reductions like _per_ray_box_cull."""
+    [tiles, R, 1]); top_lo/top_hi [B, 3]; top_planes (optional, [B, 5]
+    n.xyz|c|h) adds the conservative thick-plane crossing test (see
+    _per_ray_box_cull).  Returns (pass [tiles, B], entry [tiles, B] —
+    min slab entry over passing rays, INF where none).  Fuses into the
+    two reductions like _per_ray_box_cull."""
     o, d, t_min_t, t_max_t = rays
     tiles = o[0].shape[0]
     b = top_lo.shape[0]
@@ -805,6 +873,22 @@ def _per_ray_top_cull(rays, top_lo, top_hi):
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     ok = (tn <= tf) & live
+    if top_planes is not None:
+        pn = [top_planes[None, None, :, j] for j in range(3)]
+        pc = top_planes[None, None, :, 3]
+        ph = top_planes[None, None, :, 4]
+        t0 = pn[0] * o[0]
+        t1 = pn[1] * o[1]
+        t2 = pn[2] * o[2]
+        a = t0 + t1 + t2 - pc
+        amag = jnp.abs(t0) + jnp.abs(t1) + jnp.abs(t2) + jnp.abs(pc)
+        bb = pn[0] * d[0] + pn[1] * d[1] + pn[2] * d[2]
+        d0 = a + tn * bb
+        d1 = a + tf * bb
+        thr = ph + 4e-6 * (amag
+                           + jnp.maximum(jnp.abs(tn), jnp.abs(tf))
+                           * jnp.abs(bb)) + 1e-25
+        ok = ok & (jnp.minimum(d0, d1) <= thr) & (jnp.maximum(d0, d1) >= -thr)
     rpass = jnp.any(ok, axis=1)                           # [tiles, B]
     entry = jnp.min(jnp.where(ok, jnp.maximum(tn, 0.0), INF), axis=1)
     return rpass, entry
@@ -848,8 +932,10 @@ def _cluster_window_wl(wl, wok, tb, accel: StreamAccel, rays=None):
     oh = (flat_bid[:, None] ==
           jnp.arange(b, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
     rows = jnp.dot(oh, accel.blk_boxes_bf16,
-                   preferred_element_type=jnp.float32)    # [tiles*wbw, 6S]
-    boxes = rows.reshape(tiles, wbw, 6, S)
+                   preferred_element_type=jnp.float32)    # [tiles*wbw, 11S]
+    rows = rows.reshape(tiles, wbw, 11, S)
+    boxes = rows[:, :, :6]
+    planes = rows[:, :, 6:]
     if rays is not None:
         # The exact per-ray cull SUBSUMES the tile-interval slab: interval
         # arithmetic is conservative over member rays, so per-ray pass is
@@ -857,7 +943,7 @@ def _cluster_window_wl(wl, wok, tb, accel: StreamAccel, rays=None):
         # interval entry — running the slab too would change nothing
         # (bit-identical cok/centry) while paying its batched math and
         # the [tiles, wbw, S, 3] moveaxis copies.
-        rpass, rentry = _per_ray_box_cull(rays, boxes)
+        rpass, rentry = _per_ray_box_cull(rays, boxes, planes)
         cok = rpass & jnp.repeat(wok, S, axis=1)
         centry = rentry
     else:
@@ -904,15 +990,23 @@ def _packed_sort(ckey, cid, n_ids: int):
     return centry_s, s & mask
 
 
-def _per_ray_box_cull(rays, boxes):
+def _per_ray_box_cull(rays, boxes, planes=None):
     """Exact per-ray slab vs the window's cluster boxes, reduced per tile.
 
     rays = (o, d, t_min, t_max) in tile layout (3 x [tiles, R, 1], ...);
     boxes [tiles, wbw, 6, S] (lo.xyz|hi.xyz groups, conservative bf16
-    rounding upstream).  Returns (pass [tiles, wbw*S] — True iff ANY live
-    ray's slab interval is non-empty — and entry [tiles, wbw*S] — min slab
-    entry over passing rays, INF where none).  Everything fuses into the
-    two reductions; no [tiles, R, W] array is kept live.
+    rounding upstream).  ``planes`` (optional, [tiles, wbw, 5, S]
+    n.xyz|c|h groups): each surviving (ray, cluster) pair additionally
+    requires the ray's box-clipped t-interval to CROSS the cluster's
+    thick plane |n.p - c| <= h — near-planar clusters (heightfield
+    patches, walls, floors) have AABBs much fatter than their geometry,
+    and grazing rays/segments that pass the box miss the slab.  The
+    threshold is inflated by the runtime fp-error bound of the two
+    endpoint evaluations, so the test is conservative and the trace
+    stays exact.  Returns (pass [tiles, wbw*S] — True iff ANY live ray
+    survives — and entry [tiles, wbw*S] — min slab entry over passing
+    rays, INF where none).  Everything fuses into the two reductions;
+    no [tiles, R, W] array is kept live.
     """
     o, d, t_min_t, t_max_t = rays
     tiles, wbw, _, s_ = boxes.shape
@@ -929,6 +1023,25 @@ def _per_ray_box_cull(rays, boxes):
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     ok = (tn <= tf) & live
+    if planes is not None:
+        pn = [planes[:, :, j, :].reshape(tiles, 1, w) for j in range(3)]
+        pc = planes[:, :, 3, :].reshape(tiles, 1, w)
+        ph = planes[:, :, 4, :].reshape(tiles, 1, w)
+        t0 = pn[0] * o[0]
+        t1 = pn[1] * o[1]
+        t2 = pn[2] * o[2]
+        a = t0 + t1 + t2 - pc
+        # fp-error bound of the endpoint evaluations must scale with the
+        # MAGNITUDES of the summed terms (cancellation: |a| can be ~0
+        # while each term is ~scene-scale and carries ~ulp(term) error)
+        amag = jnp.abs(t0) + jnp.abs(t1) + jnp.abs(t2) + jnp.abs(pc)
+        bb = pn[0] * d[0] + pn[1] * d[1] + pn[2] * d[2]
+        d0 = a + tn * bb
+        d1 = a + tf * bb
+        thr = ph + 4e-6 * (amag
+                           + jnp.maximum(jnp.abs(tn), jnp.abs(tf))
+                           * jnp.abs(bb)) + 1e-25
+        ok = ok & (jnp.minimum(d0, d1) <= thr) & (jnp.maximum(d0, d1) >= -thr)
     rpass = jnp.any(ok, axis=1)                           # [tiles, W]
     entry = jnp.min(jnp.where(ok, jnp.maximum(tn, 0.0), INF), axis=1)
     return rpass, entry
@@ -1402,12 +1515,15 @@ def _trace_flat(origins, dirs, accel: StreamAccel, t_min, t_max,
             (tiles, 1, 6, cf_pad))
         c_all, g_sw, cl_tab = cf_pad, gf, tab
         pairs = _FLAT_FINE_PAIRS
+        planes = None   # fine sub-clusters carry no slab metadata
     else:
         boxes = jnp.broadcast_to(accel.blk_boxes[None, :, :, :S],
                                  (tiles, b, 6, S))
+        planes = jnp.broadcast_to(accel.blk_planes[None, :, :, :S],
+                                  (tiles, b, 5, S))
         g_sw, cl_tab, pairs = G, accel.cl_flat, None
 
-    rpass, rentry = _per_ray_box_cull(rays, boxes)        # [tiles, c_all]
+    rpass, rentry = _per_ray_box_cull(rays, boxes, planes)  # [tiles, c_all]
     cid = jnp.broadcast_to(jnp.arange(c_all, dtype=jnp.int32)[None, :],
                            (tiles, c_all))
     ckey = jnp.where(rpass, rentry, INF)

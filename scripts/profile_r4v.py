@@ -20,6 +20,7 @@ sweep actually pays) per order as a noise-free quality proxy.
 Run alone (single tunneled chip).
 """
 
+import functools
 import sys
 import time
 
@@ -59,7 +60,7 @@ def slope(step, init, reps=(2, 6)):
     return (times[k2] - times[k1]) / (k2 - k1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("with_cnt",))
 def sig_order(o, d, t_min, t_max, top_lo, top_hi, lo, hi, with_cnt):
     """Packed signature sort key: (first block, [n-blocks,] morton)."""
     n = o[0].shape[0]

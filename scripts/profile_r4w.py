@@ -20,8 +20,12 @@ Run alone (single tunneled chip).
 """
 
 import dataclasses
+import os
 import sys
 import time
+
+# comma list of sections to run: pass3,claim,gi,p1,p2 (default all)
+PARTS = set(os.environ.get("R4W_PARTS", "pass3,claim,gi,p1,p2").split(","))
 
 import jax
 import jax.numpy as jnp
@@ -172,15 +176,15 @@ def main():
                              (rr, "update_reservoir_p", stub_update),
                              (restir, "jacobian_reconnection_p", stub_jac)]),
     ]
-    for label, swaps in rows:
+    for label, swaps in (rows if "pass3" in PARTS else []):
         with patched(*(vis_stubs + swaps)):
             dt = slope(lambda x, a, b, c: run_pass3(x, a, b, c, cfg),
                        (res_di, res_gi, sdata))
         say(f"  pass3 {label:24s}: {dt*1e3:8.1f} ms")
-    for label, cfg_v in [
+    for label, cfg_v in ([
         ("novis tries=5", dataclasses.replace(cfg, spatial_max_tries=5)),
         ("novis k=2", dataclasses.replace(cfg, spatial_candidate_count=2)),
-    ]:
+    ] if "pass3" in PARTS else []):
         with patched(*vis_stubs):
             dt = slope(lambda x, a, b, c: run_pass3(x, a, b, c, cfg_v),
                        (res_di, res_gi, sdata))
@@ -219,8 +223,9 @@ def main():
             r2v = packed[2][sel[v]].astype(jnp.float32)
             out = out + jnp.sum(r0v[:, 0] + r2v[:, 1]) * 1e-12
         return out
-    dt = slope(claim_only, (res_di, sdata))
-    say(f"  pass3 claim+gather DI replica : {dt*1e3:8.1f} ms")
+    if "claim" in PARTS:
+        dt = slope(claim_only, (res_di, sdata))
+        say(f"  pass3 claim+gather DI replica : {dt*1e3:8.1f} ms")
 
     # ---------------- pass1_gi single-bounce ablations
     def run_bounce(x, st_in):
@@ -239,7 +244,7 @@ def main():
         ("bounce update stub", [(restir_gi, "update_reservoir_p",
                                  stub_update)]),
     ]
-    for label, swaps in gi_rows:
+    for label, swaps in (gi_rows if "gi" in PARTS else []):
         with patched(*swaps):
             dt = slope(run_bounce, (st0,))
         say(f"  pass1_gi {label:22s}: {dt*1e3:8.1f} ms")
@@ -258,12 +263,44 @@ def main():
         ("trace+NEE stub", [(restir, "trace_closest_p", stub_trace),
                             (restir, "nee_candidate_at_p", stub_nee)]),
     ]
-    for label, swaps in p1_rows:
+    for label, swaps in (p1_rows if "p1" in PARTS else []):
         with patched(*(vis_stubs + swaps)):
             dt = slope(run_p1)
         say(f"  pass1_di novis {label:16s}: {dt*1e3:8.1f} ms")
 
+    # ---------------- gather width model (non-hoistable indices, the
+    # real pass-3 tap pattern: 9 independent try-gathers per table).
+    # Decides the wide-row consolidation: r4t showed [N,8] ~= [N,4] per
+    # ROW (latency-bound), so fusing shards into one wide row should cut
+    # gather count ~2x if width stays free through 24-32 f32.
+    if "width" in PARTS:
+        n = cfg.num_pixels
+        idx9 = [jnp.asarray(np.random.default_rng(i).integers(
+            0, n, n, dtype=np.int32)) for i in range(9)]
+
+        def g_width(x, tab, k_g):
+            # index depends on x only through a never-true clamp, so the
+            # gather cannot hoist but indices are unchanged
+            out = x
+            for i in range(k_g):
+                ix = jnp.where(x > 1e30, 0, idx9[i])
+                out = out + jnp.sum(tab[ix][:, 0]) * 1e-12
+            return out
+
+        for w_cols, k_g, label in [(8, 9, "9x [N,8]"), (16, 9, "9x [N,16]"),
+                                   (24, 9, "9x [N,24]"), (32, 9, "9x [N,32]"),
+                                   (8, 3, "3x [N,8]"), (24, 3, "3x [N,24]"),
+                                   (16, 1, "1x [N,16]"), (8, 2, "2x [N,8]")]:
+            tab = jnp.asarray(
+                np.random.default_rng(0).normal(size=(n, w_cols))
+                .astype(np.float32))
+            dt = slope(lambda x, t=tab, k_g=k_g: g_width(x, t, k_g))
+            say(f"  gather width {label:12s}: {dt*1e3:8.1f} ms "
+                f"({dt*1e9/(n*k_g):6.2f} ns/row)")
+
     # ---------------- pass2 + _pack_last with REAL chained inputs
+    if "p2" not in PARTS:
+        return
     r2 = rr.RestirRenderer(scene, camera, cfg)
     r2.render()
     r2.render()

@@ -211,3 +211,124 @@ def test_compacted_tail_window_subset_path():
     ob = any_hit_brute(o, d, tris, t_min, t_max)
     os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max, wb=1)
     assert np.array_equal(np.asarray(os_), np.asarray(ob))
+
+
+def test_cluster_plane_slabs_conservative():
+    """Every real triangle vertex must satisfy |n.v - c| <= h for its
+    cluster's thick-plane slab (and its block's), in BOTH the f32
+    (blk_planes/top_planes) and bf16 (blk_boxes_bf16 tail groups)
+    representations — the conservatism invariant the per-ray crossing
+    cull relies on for exactness.  A heightfield exercises the
+    near-planar case the slab exists for."""
+    from royaltracer_dx_tpu.scene.procedural import heightfield
+
+    v, idx = heightfield(48)
+    tris = jnp.asarray(np.asarray(v)[np.asarray(idx)])
+    for method in ("median", "morton"):
+        accel = st.build_stream_accel(tris, method=method)
+        b = accel.num_blocks
+        perm = np.asarray(accel.perm)
+        verts = np.zeros((b * st.S * st.G, 3, 3), np.float32)
+        real = perm >= 0
+        verts[real] = np.asarray(tris)[perm[real]]
+        pl = np.asarray(accel.blk_planes)              # [b, 5, 128]
+        vb = verts.reshape(b, st.S, st.G, 3, 3)
+        rb = real.reshape(b, st.S, st.G)
+        for bi in range(b):
+            for si in range(st.S):
+                if not rb[bi, si].any():
+                    assert pl[bi, 4, si] < 0.0
+                    continue
+                n = pl[bi, :3, si]
+                c, h = pl[bi, 3, si], pl[bi, 4, si]
+                d = vb[bi, si][rb[bi, si]].reshape(-1, 3) @ n - c
+                assert np.abs(d).max() <= h + 1e-6, (bi, si)
+        # bf16 groups: same invariant with the rounded-up h
+        bf = np.asarray(accel.blk_boxes_bf16.astype(jnp.float32))
+        bf = bf.reshape(b, 11, st.S)
+        for bi in range(b):
+            for si in range(st.S):
+                if not rb[bi, si].any():
+                    continue
+                n = bf[bi, 6:9, si]
+                c, h = bf[bi, 9, si], bf[bi, 10, si]
+                d = vb[bi, si][rb[bi, si]].reshape(-1, 3) @ n - c
+                assert np.abs(d).max() <= h + 1e-6, (bi, si)
+        tp = np.asarray(accel.top_planes)
+        blk_verts = verts.reshape(b, st.S * st.G * 3, 3)
+        blk_real = np.repeat(rb.reshape(b, -1), 3, axis=1)
+        for bi in range(b):
+            if not rb[bi].any():
+                continue
+            n, c, h = tp[bi, :3], tp[bi, 3], tp[bi, 4]
+            d = blk_verts[bi][blk_real[bi]] @ n - c
+            assert np.abs(d).max() <= h + 1e-6, bi
+
+
+def test_plane_slab_grazing_segments_exact():
+    """Grazing shadow segments just above a heightfield — the case the
+    slab cull retires — must stay bit-exact vs brute for occlusion and
+    closest."""
+    from royaltracer_dx_tpu.scene.procedural import heightfield
+
+    v, idx = heightfield(48)
+    tris = jnp.asarray(np.asarray(v)[np.asarray(idx)])
+    accel = st.build_stream_accel(tris)
+    n = 64 * st.TILE
+    # origins slightly above the surface, directions mostly horizontal
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.05, 0.4, n).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] *= 0.15
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_min = jnp.full((n,), 1e-3)
+    t_max = jnp.full((n,), 1.5)
+    ob = any_hit_brute(o, d, tris, t_min, t_max)
+    os_ = st.any_hit_stream_xla(o, d, accel, t_min, t_max)
+    assert np.array_equal(np.asarray(os_), np.asarray(ob))
+    hb = closest_hit_brute(o, d, tris)
+    hs = st.closest_hit_stream_xla(o, d, accel)
+    np.testing.assert_allclose(np.asarray(hs.t), np.asarray(hb.t),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(hs.tri)[np.asarray(hb.t) < 1e29],
+                          np.asarray(hb.tri)[np.asarray(hb.t) < 1e29])
+
+
+def test_plane_slab_far_origin_cancellation():
+    """Geometry far from the origin provokes catastrophic cancellation in
+    the slab's n.o - c evaluation (|n.o| ~ |c| ~ 1e3 with h ~ 1e-3): the
+    fp-error bound must scale with the TERM magnitudes, not the cancelled
+    result, or near-plane hits get culled.  Also asserts ray-ORDER
+    independence — with an exact per-ray cull, a ray's result must not
+    depend on its tile-mates (the union sweep can only add candidates)."""
+    from royaltracer_dx_tpu.scene.procedural import heightfield
+
+    v, idx = heightfield(64)
+    v = np.asarray(v) + np.asarray([[1000.0, 0.0, -750.0]], np.float32)
+    tris = jnp.asarray(v[np.asarray(idx)])
+    accel = st.build_stream_accel(tris)
+    n = 96 * st.TILE
+    lrng = np.random.default_rng(11)
+    o = lrng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] = lrng.uniform(0.02, 0.35, n).astype(np.float32)
+    o += np.asarray([[1000.0, 0.0, -750.0]], np.float32)
+    lp = np.asarray([1000.0, 0.9, -750.0], np.float32)
+    d = lp[None, :] - o
+    dist = np.linalg.norm(d, axis=1, keepdims=True)
+    d = d / np.maximum(dist, 1e-6)
+    tmax = jnp.asarray((dist[:, 0] - 1e-3).astype(np.float32))
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    t_min = jnp.full((n,), 1e-3)
+    ob = np.asarray(any_hit_brute(oj, dj, tris, t_min, tmax))
+    oc = tuple(oj[:, c] for c in range(3))
+    dc = tuple(dj[:, c] for c in range(3))
+    occ1 = np.asarray(st.any_hit_stream_xla(oc, dc, accel, 1e-3, tmax))
+    assert np.array_equal(occ1, ob)
+    pm = lrng.permutation(n)
+    occ2p = np.asarray(st.any_hit_stream_xla(
+        tuple(c[pm] for c in oc), tuple(c[pm] for c in dc), accel, 1e-3,
+        tmax[jnp.asarray(pm)]))
+    occ2 = np.zeros(n, bool)
+    occ2[pm] = occ2p
+    assert np.array_equal(occ2, ob)
