@@ -169,6 +169,19 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     def out_hi(x):
         return (x + jnp.abs(x) * 0.008 + 1e-30).astype(jnp.bfloat16)
 
+    def bf16_rne_f32(x):
+        """Round f32 to the nearest bf16 value, returned AS f32 — done in
+        integer space because XLA's excess-precision pass (on by default
+        on TPU) elides a convert(f32->bf16->f32) pair, which silently
+        left n/c UNROUNDED here while the bf16 rows stored the rounded
+        values: h was then exact for a plane the runtime never tested
+        and the bf16 slab cull turned non-conservative (round-4 bug,
+        caught by the r4v order-dependence check)."""
+        u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+            & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(r, jnp.float32)
+
     # --- thick-plane slabs.  n = the cluster's area-weighted mean
     # triangle normal (sum of cross(e1, e2)), ROUNDED TO BF16 FIRST so
     # both storage precisions test the same plane; c/h = center and
@@ -183,15 +196,15 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     nsum = jnp.sum(jnp.where(pad[:, None], 0.0, nrm).reshape(b, S, G, 3),
                    axis=2)                                   # [b, S, 3]
     nlen = jnp.sqrt(jnp.sum(nsum * nsum, axis=-1, keepdims=True))
-    n_pl = (nsum / jnp.maximum(nlen, 1e-30)).astype(jnp.bfloat16)
-    n_f = n_pl.astype(jnp.float32)
+    n_f = bf16_rne_f32(nsum / jnp.maximum(nlen, 1e-30))
+    n_pl = n_f.astype(jnp.bfloat16)          # exact: already a bf16 value
     vtx = tv.reshape(b, S, G, 3, 3)                          # verts, xyz
     dproj = sum(vtx[..., c] * n_f[:, :, None, None, c] for c in range(3))
     pad_v = pad.reshape(b, S, G)[..., None]                  # [b, S, G, 1]
     dmin = jnp.min(jnp.where(pad_v, _BIG, dproj), axis=(2, 3))
     dmax = jnp.max(jnp.where(pad_v, -_BIG, dproj), axis=(2, 3))
-    c_pl = (0.5 * (dmin + dmax)).astype(jnp.bfloat16)
-    c_f = c_pl.astype(jnp.float32)
+    c_f = bf16_rne_f32(0.5 * (dmin + dmax))
+    c_pl = c_f.astype(jnp.bfloat16)          # exact: already a bf16 value
     h_pl = (jnp.maximum(dmax - c_f, c_f - dmin)
             + jnp.maximum(jnp.abs(dmin), jnp.abs(dmax)) * 1e-5 + 1e-30)
     h_pl = jnp.where(real_cl, h_pl, -_BIG)
@@ -203,14 +216,13 @@ def _layout_device(sorted_tris: jax.Array, perm: jax.Array, b: int):
     bn = jnp.sum(jnp.where(pad[:, None], 0.0, nrm).reshape(b, S * G, 3),
                  axis=1)
     bnlen = jnp.sqrt(jnp.sum(bn * bn, axis=-1, keepdims=True))
-    bn_f = (bn / jnp.maximum(bnlen, 1e-30)
-            ).astype(jnp.bfloat16).astype(jnp.float32)       # [b, 3]
+    bn_f = bf16_rne_f32(bn / jnp.maximum(bnlen, 1e-30))      # [b, 3]
     bproj = sum(tv.reshape(b, S * G, 3, 3)[..., c] * bn_f[:, None, None, c]
                 for c in range(3))
     bpad = pad.reshape(b, S * G)[..., None]
     bdmin = jnp.min(jnp.where(bpad, _BIG, bproj), axis=(1, 2))
     bdmax = jnp.max(jnp.where(bpad, -_BIG, bproj), axis=(1, 2))
-    bc = (0.5 * (bdmin + bdmax)).astype(jnp.bfloat16).astype(jnp.float32)
+    bc = bf16_rne_f32(0.5 * (bdmin + bdmax))
     bh = (jnp.maximum(bdmax - bc, bc - bdmin)
           + jnp.maximum(jnp.abs(bdmin), jnp.abs(bdmax)) * 1e-5 + 1e-30)
     bh = jnp.where(real_blk, bh, -_BIG)

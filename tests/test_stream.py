@@ -232,6 +232,16 @@ def test_cluster_plane_slabs_conservative():
         real = perm >= 0
         verts[real] = np.asarray(tris)[perm[real]]
         pl = np.asarray(accel.blk_planes)              # [b, 5, 128]
+        # the f32 plane copy must hold EXACTLY bf16-representable n/c
+        # (low 16 mantissa bits zero): XLA's excess-precision pass on
+        # TPU elides convert(f32->bf16->f32) pairs, which once left
+        # blk_planes unrounded while the bf16 rows stored rounded
+        # values — h was then too small for the plane actually tested
+        # and the cull turned non-conservative (order-dependent
+        # occlusion, diagnosed by scripts/profile_r4y.py)
+        assert (pl[:, :4].view(np.uint32) & 0xFFFF == 0).all()
+        tpl = np.asarray(accel.top_planes)
+        assert (tpl[:, :4].view(np.uint32) & 0xFFFF == 0).all()
         vb = verts.reshape(b, st.S, st.G, 3, 3)
         rb = real.reshape(b, st.S, st.G)
         for bi in range(b):
