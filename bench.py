@@ -1,17 +1,22 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Round-4 configuration (VERDICT r3 #2): PRODUCT rows run FIRST — the
-flagship ReSTIR frames (garage 256^2 and the reference's 1920x1080
-operating point), the RMSE accuracy rows, many-lights/sponza/dynamic and
-the f16-record delta — and the compile-heavy traversal/build rows run
-after, so a wedged tunnel or a blown budget can no longer eat the half
-of the table the judge needs most.  Each section is budget-gated: it
-only starts when the remaining watchdog budget exceeds its estimated
-cost (measured round-3 costs + margin), otherwise it records
-``<name>_skipped: budget`` and the driver still gets every other row.
+Round-5 evidence design (VERDICT r4 #1 — two consecutive rounds lost the
+whole table to the driver's outer kill):
+
+- ``_WATCHDOG_S`` defaults to 1140 s, provably inside the driver's kill
+  budget (r3's 1500 s watchdog fired in time; r4's 2400 s did not).
+- **Every section completion emits a FULL cumulative result line** (same
+  schema as the final line, plus ``"partial": true`` and the section
+  name).  A hard SIGKILL at any point leaves the most recent complete
+  snapshot as the last parseable line on stdout — no finished row can be
+  lost again.  The final line is identical minus ``partial``.
+- Required rows (garage-256, f16, 1080p, rmse_di, rmse, terrain — the
+  VERDICT r4 minimum set) run FIRST and are not budget-gated (only a
+  30 s floor); optional rows keep the round-4 budget gating.
+
 The headline metric stays the 1M-triangle terrain closest-hit rate
-(BASELINE.json north star); if the budget truncates before terrain, the
-flagship fps row becomes the headline so ``value`` is never silently 0.
+(BASELINE.json north star); until terrain lands, the flagship fps row is
+the headline so ``value`` is never silently 0.
 """
 
 from __future__ import annotations
@@ -27,13 +32,14 @@ import numpy as np
 # remote lease after a client dies mid-dispatch makes every device call
 # hang in C++ where Python signals never fire).  A daemon thread emits
 # the JSON line with whatever was measured so far and hard-exits, so the
-# driver always gets a record.
-_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+# driver always gets a record.  1140 s < the driver's observed kill
+# budget (>1500 s fired in r3, <2400 s did not in r4).
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1195))
 _T0 = time.perf_counter()
 _partial: dict = {}
 
 
-def _emit(partial: dict):
+def _result_line(partial: dict) -> dict:
     extra = partial.get("extra", {})
     if "value" in partial:
         metric = ("Mrays/sec/chip closest-hit, 1.0M-tri terrain, 512x512 "
@@ -49,10 +55,17 @@ def _emit(partial: dict):
     else:
         metric = "no rows measured"
         value, unit, vs = 0.0, "", 0.0
-    print(json.dumps({
-        "metric": metric, "value": value, "unit": unit,
-        "vs_baseline": vs, "extra": extra,
-    }), flush=True)
+    return {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs, "extra": extra}
+
+
+def _emit(partial: dict, section: str | None = None):
+    line = _result_line(partial)
+    if section is not None:
+        line["partial"] = True
+        line["after_section"] = section
+        line["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+    print(json.dumps(line), flush=True)
 
 
 def _arm_watchdog():
@@ -131,16 +144,19 @@ def _slope(step, init, reps=(2, 6), label=None):
     return dt
 
 
-def _section(extra: dict, name: str, est_s: float, fn):
-    """Run one bench section if the watchdog budget allows.
+def _section(extra: dict, name: str, est_s: float, fn, required=False):
+    """Run one bench section and emit a cumulative snapshot line after.
 
-    est_s: estimated worst-case cost (cold remote-XLA compiles included,
-    round-3 measurements + margin).  A section that would overrun the
-    remaining budget is skipped with a recorded reason — later (cheaper)
-    sections still get their chance."""
-    if _left() < est_s:
+    Required sections only need a 30 s floor (the watchdog + incremental
+    emission protect against overrun); optional sections are gated on
+    ``est_s`` (worst-case cost incl. cold remote-XLA compiles) so one hog
+    cannot eat the cheaper rows behind it."""
+    floor = 30.0 if required else est_s
+    if _left() < floor:
         extra[name + "_skipped"] = (
-            f"budget: {_left():.0f}s left < {est_s:.0f}s estimate")
+            f"budget: {_left():.0f}s left < {floor:.0f}s "
+            + ("floor" if required else "estimate"))
+        _emit(_partial, section=name)
         return
     t0 = time.perf_counter()
     try:
@@ -149,6 +165,7 @@ def _section(extra: dict, name: str, est_s: float, fn):
         extra[name + "_error"] = repr(e)[:200]
     extra.setdefault("section_s", {})[name] = round(
         time.perf_counter() - t0, 1)
+    _emit(_partial, section=name)
 
 
 def main():
@@ -214,8 +231,9 @@ def main():
         }
     except Exception as e:
         extra["calib_error"] = repr(e)[:120]
+    _emit(_partial, section="calib")
 
-    # =================== product rows (run first) ========================
+    # ============== required rows (VERDICT r4 minimum set) ===============
 
     # ---- config 2: flagship ReSTIR on the reference scene + smoke checks
     state = {}
@@ -240,167 +258,27 @@ def main():
         rr.render()
         passes = {k: round(v * 1e3, 1)
                   for k, v in rr.metrics.get("pass_times_s", {}).items()}
+        rr.profile = False
+        # batched frames (render_many: whole frames inside ONE jit) — the
+        # sustained operating point without per-dispatch tunnel overhead,
+        # and the fused-frame composition A/B vs frame_ms
+        rr.render_many(5)
+        t0 = time.perf_counter()
+        rr.render_many(5)
+        batch_ms = (time.perf_counter() - t0) / 5 * 1e3
         extra["restir_garage_256"] = {
             "frame_ms": round(rdt * 1e3, 2),
+            "frame_ms_batched": round(batch_ms, 2),
             "fps": round(1.0 / rdt, 2),
             "channel_means": [round(float(c), 4) for c in ch],
             "pass_ms_profiled": passes,
         }
         state["img256"] = img
 
-    _section(extra, "garage_256", est_s=300, fn=s_garage_256)
+    _section(extra, "garage_256", est_s=300, fn=s_garage_256, required=True)
 
-    # ---- VERDICT r3 #1: the reference's 1080p operating point
-    def s_garage_1080p():
-        frr = RestirRenderer(build_scene("reference")[0], state["rcam"],
-                             RenderConfig(width=1920, height=1080))
-        t0 = time.perf_counter()
-        frr.render()
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(3):
-            frr.render()
-        fdt = (time.perf_counter() - t0) / 3
-        fimg = frr.radiance()
-        assert np.isfinite(fimg).all()
-        extra["restir_garage_1080p"] = {
-            "frame_s": round(fdt, 3),
-            "fps": round(1.0 / fdt, 3),
-            "first_frame_s": round(compile_s, 1),
-            "mrays_per_s": round(frr.metrics.get("mrays_per_s", 0.0), 2),
-            "channel_means": [round(float(c), 4)
-                              for c in fimg.mean(axis=(0, 1))],
-        }
-
-    _section(extra, "garage_1080p", est_s=420, fn=s_garage_1080p)
-
-    # ---- converged DI RMSE vs the MIS-free DiOracle (BASELINE <=5e-3
-    # accuracy bar; VERDICT r2 #5).  The DiOracle consumes pass1's own
-    # jitted primary-hit geometry (render/di_oracle.py) so the comparison
-    # isolates the DI estimator chain from ulp-level geometry divergence.
-    # Full converged study: scripts/rmse_study.py (128^2, BASELINE.md).
-    hcam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
-
-    def s_rmse_di():
-        from royaltracer_dx_tpu.render.di_oracle import DiOracle
-
-        W3 = 64
-        dora = DiOracle(cornell_box(emission=18.0), hcam,
-                        RenderConfig(width=W3, height=W3))
-        for _ in range(800):
-            dora.render()
-        dimg = dora.radiance()
-        rr3 = RestirRenderer(cornell_box(emission=18.0), hcam,
-                             RenderConfig(width=W3, height=W3,
-                                          aa_jitter=False, gi_bounces=0))
-        for _ in range(400):
-            rr3.render()
-        di_img = rr3.radiance()
-        extra["rmse_di_vs_dioracle_64"] = {
-            "rmse": round(rmse(di_img, dimg), 5),
-            "rel_mean": round(rel_mean(di_img, dimg), 5),
-            "frames": [800, 400],
-            "bar": 5e-3,
-        }
-
-    _section(extra, "rmse_di", est_s=300, fn=s_rmse_di)
-
-    # ---- RMSE harness (full DI+GI vs quirk-free megakernel oracle)
-    def s_rmse():
-        from royaltracer_dx_tpu.render.renderer import Renderer
-
-        W2 = 96
-        orc = Renderer(cornell_box(emission=18.0), hcam,
-                       RenderConfig(width=W2, height=W2, max_bounces=5,
-                                    aa_jitter=False,
-                                    reference_mis_quirk=False))
-        for _ in range(200):
-            orc.render()
-        ora = orc.radiance()
-        rr2 = RestirRenderer(cornell_box(emission=18.0), hcam,
-                             RenderConfig(width=W2, height=W2,
-                                          aa_jitter=False))
-        for _ in range(100):
-            rr2.render()
-        img2 = rr2.radiance()
-        extra["rmse_vs_oracle"] = {
-            "rmse": round(rmse(img2, ora), 5),
-            "rel_mean": round(rel_mean(img2, ora), 5),
-            "frames": [200, 100],
-        }
-
-    _section(extra, "rmse", est_s=300, fn=s_rmse)
-
-    # ---- config 4: many-light ReSTIR (Sponza-class light count)
-    def s_many_lights():
-        from royaltracer_dx_tpu.scene.procedural import many_lights
-
-        mcam2 = Camera(eye=(0.0, 1.1, 3.2), center=(0.0, 0.8, 0.0))
-        # width/height/aa_jitter match the RMSE section's ReSTIR config so
-        # the 96^2 ReSTIR sections share one compiled pipeline
-        mrr = RestirRenderer(many_lights(), mcam2,
-                             RenderConfig(width=96, height=96,
-                                          aa_jitter=False))
-        mrr.render()
-        t0 = time.perf_counter()
-        for _ in range(3):
-            mrr.render()
-        mdt = (time.perf_counter() - t0) / 3
-        mimg = mrr.radiance()
-        assert np.isfinite(mimg).all()
-        extra["many_lights_96"] = {
-            "lights": int(mrr.scene_arrays.lights.count),
-            "frame_ms": round(mdt * 1e3, 2),
-        }
-
-    _section(extra, "many_lights", est_s=150, fn=s_many_lights)
-
-    # ---- config 5: dynamic scene — animated instance + refit + frame
-    def s_dynamic():
-        ascene, acam = build_scene("reference")
-        arr = RestirRenderer(ascene, acam,
-                             RenderConfig(width=96, height=96,
-                                          aa_jitter=False))
-        arr.render()
-        t0 = time.perf_counter()
-        for i in range(3):
-            ang = 0.3 * (i + 1)
-            c, s = float(np.cos(ang)), float(np.sin(ang))
-            m = np.asarray([[c, 0, s, 0], [0, 1, 0, 0],
-                            [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
-            ascene.set_transform(1, m)
-            arr.update()
-            arr.render()
-        adt = (time.perf_counter() - t0) / 3
-        aimg = arr.radiance()
-        assert np.isfinite(aimg).all()
-        extra["dynamic_refit_frame_96_ms"] = round(adt * 1e3, 2)
-
-    _section(extra, "dynamic", est_s=150, fn=s_dynamic)
-
-    # ---- Sponza-class ReSTIR (generated atrium: 265k tris, 48 lamps)
-    def s_sponza():
-        sscene, scam = build_scene("sponza")
-        srr = RestirRenderer(sscene, scam,
-                             RenderConfig(width=128, height=128))
-        srr.render()
-        t0 = time.perf_counter()
-        for _ in range(3):
-            srr.render()
-        sdt = (time.perf_counter() - t0) / 3
-        simg = srr.radiance()
-        assert np.isfinite(simg).all()
-        extra["sponza_restir_128"] = {
-            "tris": int(srr.scene_arrays.tri_verts.shape[0]),
-            "lights": int(srr.scene_arrays.lights.count),
-            "frame_ms": round(sdt * 1e3, 2),
-            "mrays": round(srr.metrics.get("mrays_per_s", 0.0), 2),
-        }
-
-    _section(extra, "sponza", est_s=400, fn=s_sponza)
-
-    # ---- f16 packed-record delta (VERDICT r2 #8): frame time + image
-    # delta of the half-precision inter-pixel gather tables at 256^2
+    # ---- f16 packed-record delta (VERDICT r2 #8 / r4 #5): frame time +
+    # image delta of the half-precision inter-pixel gather tables at 256^2
     def s_f16():
         rr16 = RestirRenderer(build_scene("reference")[0], state["rcam"],
                               RenderConfig(width=256, height=256,
@@ -419,9 +297,106 @@ def main():
                 rmse(rr16.radiance(), state["img256"]), 5)
         extra["f16_records_256"] = row
 
-    _section(extra, "f16_records", est_s=200, fn=s_f16)
+    _section(extra, "f16_records", est_s=200, fn=s_f16, required=True)
 
-    # ================ traversal / build rows (after product) =============
+    # ---- VERDICT r3 #1: the reference's 1080p operating point
+    def s_garage_1080p():
+        frr = RestirRenderer(build_scene("reference")[0], state["rcam"],
+                             RenderConfig(width=1920, height=1080))
+        t0 = time.perf_counter()
+        frr.render()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            frr.render()
+        fdt = (time.perf_counter() - t0) / 3
+        fimg = frr.radiance()
+        assert np.isfinite(fimg).all()
+        row = {
+            "frame_s": round(fdt, 3),
+            "fps": round(1.0 / fdt, 3),
+            "first_frame_s": round(compile_s, 1),
+            "mrays_per_s": round(frr.metrics.get("mrays_per_s", 0.0), 2),
+            "channel_means": [round(float(c), 4)
+                              for c in fimg.mean(axis=(0, 1))],
+        }
+        # fused-frame composition A/B (VERDICT r4 #2/#3): the same frame
+        # as ONE jit (render_many) vs the ~10-dispatch per-pass loop
+        if _left() > 240:
+            frr.render_many(2)      # compile + warm
+            t0 = time.perf_counter()
+            frr.render_many(2)
+            row["frame_s_batched"] = round((time.perf_counter() - t0) / 2, 3)
+        extra["restir_garage_1080p"] = row
+
+    _section(extra, "garage_1080p", est_s=420, fn=s_garage_1080p,
+             required=True)
+
+    # ---- converged DI RMSE vs the MIS-free DiOracle (BASELINE <=5e-3
+    # accuracy bar; VERDICT r2 #5 / r4 #6).  The DiOracle consumes pass1's
+    # own jitted primary-hit geometry (render/di_oracle.py) so the
+    # comparison isolates the DI estimator chain from ulp-level geometry
+    # divergence.  Frame counts are TIME-CAPPED, not fixed: the residual
+    # at the bar is noise-dominated (r3: 8000/4000 frames @64^2 -> RMSE
+    # 0.0017), so the loop renders chunks until its wall budget is spent
+    # and records the frame counts actually reached.
+    hcam = Camera(eye=(0.5, 0.5, 1.72), center=(0.5, 0.5, 0.0))
+
+    def run_frames(r, budget_s, max_frames, chunk=500):
+        """Accumulate frames in render_many chunks until the wall budget
+        or max_frames is reached (frames are dispatch-overhead-bound at
+        these resolutions — r5 run 1: 91 ms/frame wall for <1 ms of 64^2
+        device work; batching restores convergence/second)."""
+        t0 = time.perf_counter()
+        done = 0
+        while done < max_frames and time.perf_counter() - t0 < budget_s:
+            r.render_many(chunk)
+            done += chunk
+        return done
+
+    def s_rmse_di():
+        from royaltracer_dx_tpu.render.di_oracle import DiOracle
+
+        W3 = 64
+        dora = DiOracle(cornell_box(emission=18.0), hcam,
+                        RenderConfig(width=W3, height=W3))
+        nf_o = run_frames(dora, budget_s=100.0, max_frames=12000)
+        dimg = dora.radiance()
+        rr3 = RestirRenderer(cornell_box(emission=18.0), hcam,
+                             RenderConfig(width=W3, height=W3,
+                                          aa_jitter=False, gi_bounces=0))
+        nf_r = run_frames(rr3, budget_s=100.0, max_frames=8000)
+        di_img = rr3.radiance()
+        extra["rmse_di_vs_dioracle_64"] = {
+            "rmse": round(rmse(di_img, dimg), 5),
+            "rel_mean": round(rel_mean(di_img, dimg), 5),
+            "frames": [nf_o, nf_r],
+            "bar": 5e-3,
+        }
+
+    _section(extra, "rmse_di", est_s=340, fn=s_rmse_di, required=True)
+
+    # ---- RMSE harness (full DI+GI vs quirk-free megakernel oracle)
+    def s_rmse():
+        from royaltracer_dx_tpu.render.renderer import Renderer
+
+        W2 = 96
+        orc = Renderer(cornell_box(emission=18.0), hcam,
+                       RenderConfig(width=W2, height=W2, max_bounces=5,
+                                    aa_jitter=False,
+                                    reference_mis_quirk=False))
+        nf_o = run_frames(orc, budget_s=90.0, max_frames=2000, chunk=100)
+        ora = orc.radiance()
+        rr2 = RestirRenderer(cornell_box(emission=18.0), hcam,
+                             RenderConfig(width=W2, height=W2,
+                                          aa_jitter=False))
+        nf_r = run_frames(rr2, budget_s=70.0, max_frames=1000, chunk=100)
+        img2 = rr2.radiance()
+        extra["rmse_vs_oracle"] = {
+            "rmse": round(rmse(img2, ora), 5),
+            "rel_mean": round(rel_mean(img2, ora), 5),
+            "frames": [nf_o, nf_r],
+        }
 
     # ---- config 3 headline: 1M-triangle closest-hit (stream traversal)
     def s_terrain():
@@ -507,7 +482,101 @@ def main():
         state["mrays_closest"] = mrays_closest
         state["build_s"] = build_s
 
-    _section(extra, "terrain", est_s=500, fn=s_terrain)
+    _section(extra, "terrain", est_s=500, fn=s_terrain, required=True)
+    _section(extra, "rmse", est_s=300, fn=s_rmse, required=True)
+
+    # ======================= optional rows ===============================
+
+    # ---- VERDICT r4 #7: sharded-renderer overhead on a 1-device mesh vs
+    # the single-chip renderer at the same 256^2 config (multi-chip
+    # correctness is equality-tested; this bounds its COST)
+    def s_sharded_overhead():
+        from royaltracer_dx_tpu.parallel.shard import ShardedRestirRenderer
+
+        rscene, rcam = build_scene("reference")
+        srr = ShardedRestirRenderer(rscene, rcam,
+                                    RenderConfig(width=256, height=256),
+                                    devices=jax.devices()[:1])
+        srr.render()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            srr.render()
+        sdt = (time.perf_counter() - t0) / 5
+        f32 = extra.get("restir_garage_256", {}).get("frame_ms")
+        row = {"frame_ms": round(sdt * 1e3, 2), "single_chip_ms": f32}
+        if f32:
+            row["overhead_frac"] = round(sdt * 1e3 / f32 - 1.0, 3)
+        extra["sharded_1dev_256"] = row
+
+    _section(extra, "sharded_overhead", est_s=240, fn=s_sharded_overhead)
+
+    # ---- config 4: many-light ReSTIR (Sponza-class light count)
+    def s_many_lights():
+        from royaltracer_dx_tpu.scene.procedural import many_lights
+
+        mcam2 = Camera(eye=(0.0, 1.1, 3.2), center=(0.0, 0.8, 0.0))
+        # width/height/aa_jitter match the RMSE section's ReSTIR config so
+        # the 96^2 ReSTIR sections share one compiled pipeline
+        mrr = RestirRenderer(many_lights(), mcam2,
+                             RenderConfig(width=96, height=96,
+                                          aa_jitter=False))
+        mrr.render()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            mrr.render()
+        mdt = (time.perf_counter() - t0) / 3
+        mimg = mrr.radiance()
+        assert np.isfinite(mimg).all()
+        extra["many_lights_96"] = {
+            "lights": int(mrr.scene_arrays.lights.count),
+            "frame_ms": round(mdt * 1e3, 2),
+        }
+
+    _section(extra, "many_lights", est_s=150, fn=s_many_lights)
+
+    # ---- config 5: dynamic scene — animated instance + refit + frame
+    def s_dynamic():
+        ascene, acam = build_scene("reference")
+        arr = RestirRenderer(ascene, acam,
+                             RenderConfig(width=96, height=96,
+                                          aa_jitter=False))
+        arr.render()
+        t0 = time.perf_counter()
+        for i in range(3):
+            ang = 0.3 * (i + 1)
+            c, s = float(np.cos(ang)), float(np.sin(ang))
+            m = np.asarray([[c, 0, s, 0], [0, 1, 0, 0],
+                            [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+            ascene.set_transform(1, m)
+            arr.update()
+            arr.render()
+        adt = (time.perf_counter() - t0) / 3
+        aimg = arr.radiance()
+        assert np.isfinite(aimg).all()
+        extra["dynamic_refit_frame_96_ms"] = round(adt * 1e3, 2)
+
+    _section(extra, "dynamic", est_s=150, fn=s_dynamic)
+
+    # ---- Sponza-class ReSTIR (generated atrium: 265k tris, 48 lamps)
+    def s_sponza():
+        sscene, scam = build_scene("sponza")
+        srr = RestirRenderer(sscene, scam,
+                             RenderConfig(width=128, height=128))
+        srr.render()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            srr.render()
+        sdt = (time.perf_counter() - t0) / 3
+        simg = srr.radiance()
+        assert np.isfinite(simg).all()
+        extra["sponza_restir_128"] = {
+            "tris": int(srr.scene_arrays.tri_verts.shape[0]),
+            "lights": int(srr.scene_arrays.lights.count),
+            "frame_ms": round(sdt * 1e3, 2),
+            "mrays": round(srr.metrics.get("mrays_per_s", 0.0), 2),
+        }
+
+    _section(extra, "sponza", est_s=400, fn=s_sponza)
 
     # ---- build-quality comparison: device median (default quality build)
     # vs device morton (cheapest) — build time AND traversal throughput
@@ -610,6 +679,24 @@ def main():
         }
 
     _section(extra, "cornell", est_s=120, fn=s_cornell)
+
+    # ---- f16 at the 1080p operating point (VERDICT r4 #5: Δms + ΔRMSE at
+    # both resolutions) — last: it recompiles the full 1080p pipeline
+    def s_f16_1080p():
+        frr16 = RestirRenderer(build_scene("reference")[0], state["rcam"],
+                               RenderConfig(width=1920, height=1080,
+                                            record_dtype="f16"))
+        frr16.render()
+        t0 = time.perf_counter()
+        for _ in range(2):
+            frr16.render()
+        fdt16 = (time.perf_counter() - t0) / 2
+        extra["f16_records_1080p"] = {
+            "frame_s": round(fdt16, 3),
+            "f32_frame_s": extra.get("restir_garage_1080p", {}).get("frame_s"),
+        }
+
+    _section(extra, "f16_1080p", est_s=300, fn=s_f16_1080p)
 
     extra["reps_ms"] = _ALL_REPS
     extra["total_s"] = round(time.perf_counter() - _T0, 1)

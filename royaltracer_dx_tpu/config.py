@@ -59,6 +59,13 @@ class RenderConfig:
     spatial_exponent: float = 1.0
     spatial_m_cap: int = 128
     spatial_m_cap_gi: int = 128
+    # temporal_m_cap: the reference ships 16 (Common_v6.hlsl:20) and the
+    # default stays parity-faithful.  The measured accuracy knob (r4 M-cap
+    # study, PARITY.md "Full-reuse DI residual"): full temporal+spatial
+    # reuse at cap 16 carries RMSE 0.0072 from temporal history
+    # correlation; temporal_m_cap=8 meets the 5e-3 bar (RMSE 0.0046,
+    # rel_mean 0.99997) at slightly higher noise.  Set 8 when the
+    # accuracy bar matters more than variance.
     temporal_m_cap: int = 16
     temporal_m_cap_gi: int = 16
     temporal_r_threshold: float = 0.09

@@ -86,10 +86,38 @@ class DiOracle:
         self.frame += 1
         self._n_frames += 1
 
+    def render_many(self, k: int) -> None:
+        """Accumulate k frames in ONE jit dispatch (see
+        RestirRenderer.render_many: small frames are dispatch-bound).
+        The on-device partial sum is f32 (relative error ~sqrt(k)*eps,
+        orders below the noise it averages); the running total stays the
+        host f64 accumulator."""
+        c = _di_frames(self.scene_arrays, self._mat, self._x1, self._n1,
+                       self._outgoing, self._shading, self._l1,
+                       tuple(self._cols), self._xs, self._ys,
+                       jnp.uint32(self.frame), self.cfg, int(k))
+        self._acc += np.stack([np.asarray(p, np.float64) for p in c], axis=1)
+        self.frame += int(k)
+        self._n_frames += int(k)
+
     def radiance(self) -> np.ndarray:
         cfg = self.cfg
         return (self._acc / max(self._n_frames, 1)).astype(
             np.float32).reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def _di_frames(sa, mat, x1, n1, outgoing, shading, l1, cols, xs, ys,
+               frame0, cfg: RenderConfig, k: int):
+    """Sum of k _di_frame samples (seeds = frame0..frame0+k-1), matching
+    k sequential render() calls exactly per frame."""
+    def body(i, acc):
+        seed = pixel_seed(xs, ys, 7, frame0 + i.astype(jnp.uint32))
+        c = _di_frame(sa, mat, x1, n1, outgoing, shading, l1, cols, seed,
+                      cfg)
+        return tuple(a + p for a, p in zip(acc, c))
+    z = jnp.zeros_like(x1[0])
+    return jax.lax.fori_loop(0, k, body, (z, z, z))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

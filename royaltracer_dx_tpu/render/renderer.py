@@ -56,6 +56,38 @@ def frame_epilogue(fb: Framebuffer, emission_sum: jax.Array, cam_view: jax.Array
     return accumulate(fb, sample, changed, cfg.max_accum_frames)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"),
+                   donate_argnums=(1,))
+def _render_frames(scene, fb: Framebuffer, cam: dict, frame0: jax.Array,
+                   prev_view: jax.Array, cfg: RenderConfig, k: int):
+    """k megakernel frames in one jit: per frame, samples_per_pixel
+    passes of (prologue -> max_bounces bounce steps) accumulated, then
+    the epilogue — identical math to k render() calls."""
+    def one_frame(i, fb):
+        frame = frame0 + i.astype(jnp.uint32)
+
+        def one_sample(s, emission):
+            # render() passes sample_index=s (static); the prologue only
+            # uses it as `frame + sample_index` in the seed, so the
+            # traced equivalent adds s to the frame term
+            st = frame_prologue.__wrapped__(cam, frame + s.astype(jnp.uint32),
+                                            cfg, cfg.aa_jitter, 0)
+            st = jax.lax.fori_loop(
+                0, cfg.max_bounces,
+                lambda b, st: megakernel.bounce_step_jit(
+                    scene, st, b.astype(jnp.uint32), cfg), st)
+            return emission + st["emission"]
+
+        emission = jax.lax.fori_loop(
+            0, cfg.samples_per_pixel, one_sample,
+            jnp.zeros((cfg.num_pixels, 3), jnp.float32))
+        this_prev = jnp.where(i == 0, prev_view, cam["view"])
+        return frame_epilogue.__wrapped__(fb, emission, cam["view"],
+                                          this_prev, cfg)
+
+    return jax.lax.fori_loop(0, k, one_frame, fb)
+
+
 class Renderer:
     """Progressive headless renderer (megakernel backend).
 
@@ -121,6 +153,24 @@ class Renderer:
             rays_traced=rays,
             mrays_per_s=rays / dt / 1e6,
         )
+
+    def render_many(self, k: int) -> None:
+        """Render k frames in ONE jit dispatch (see
+        RestirRenderer.render_many; small frames are dispatch-bound).
+        Camera static across the batch; per-frame ray metrics skipped."""
+        cfg = self.cfg
+        cam = self._camera_arrays()
+        t0 = time.perf_counter()
+        self.fb = _render_frames(self.scene_arrays, self.fb, cam,
+                                 jnp.uint32(self.frame), self._prev_view,
+                                 cfg, int(k))
+        self.fb.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        self._prev_view = cam["view"]
+        self.frame += int(k)
+        self.metrics = dict(frame_time_s=dt / max(k, 1),
+                            fps=k / max(dt, 1e-9), frame=self.frame,
+                            batch_frames=int(k), batch_time_s=dt)
 
     def image(self, srgb: bool = True) -> np.ndarray:
         """Resolved [H, W, 3] image in [0,1]."""

@@ -954,6 +954,71 @@ def _pack_last(last_di: ReservoirDI, last_gi: ReservoirGI,
     )
 
 
+def _frame_body(scene, cam_base: dict, cfg: RenderConfig, st: dict,
+                frame: jax.Array) -> dict:
+    """One full ReSTIR frame as a pure state -> state function.
+
+    st: dict(last_di, last_gi, last_sdata, fb, l1, prev_view, prev_proj).
+    Mirrors RestirRenderer.render() exactly (equality-tested:
+    tests/test_restir.py render_many case); camera and scene are static
+    across the batch.  Used by render_many to run k frames in ONE jit —
+    a 64^2 frame is ~90 ms of per-dispatch tunnel overhead but <1 ms of
+    device work, so convergence studies were dispatch-bound (r5 bench:
+    1201 oracle frames in 110 s)."""
+    cam = dict(cam_base)
+    cam["prev_view"] = st["prev_view"]
+    cam["prev_proj"] = st["prev_proj"]
+    res_di, sdata, gi_in, seed = pass1_di(scene, cam, frame, cfg)
+    gst = pass1_gi_init(scene, gi_in, seed, cfg)
+    compact = restir.wants_gi_compaction(scene, cfg)
+    bounce_fn = pass1_gi_bounce_compact if compact else pass1_gi_bounce
+    gst = jax.lax.fori_loop(
+        0, cfg.gi_bounces,
+        lambda b, s: bounce_fn(scene, cfg, s, b.astype(jnp.uint32)), gst)
+    res_gi, _ = pass1_gi_final(scene, gi_in, gst, cfg)
+    if cfg.temporal_reuse:
+        packed_di, packed_gi = _pack_last(
+            st["last_di"], st["last_gi"], st["last_sdata"], _rec_dtype(cfg))
+        res_di, res_gi = pass2_temporal(
+            scene, cam, frame, res_di, res_gi, sdata, packed_di,
+            packed_gi, cfg)
+    sample, shaded, out_di, out_gi = pass3_spatial(
+        scene, cam, frame, res_di, res_gi, sdata, cfg)
+    out_di = planes_to_di(out_di)
+    out_gi = planes_to_gi(out_gi)
+    sdata_s = planes_to_sdata(sdata)
+    changed = jnp.any(jnp.abs(cam["view"] - st["prev_view"]) > S_BIAS)
+    fb = accumulate(st["fb"], sample, changed, cfg.max_accum_frames)
+    sh3 = shaded[:, None]
+
+    def pick(new, old):
+        return jnp.where(sh3 if new.ndim == 2 else shaded, new, old)
+
+    return dict(
+        last_di=jax.tree.map(pick, out_di, st["last_di"]),
+        last_gi=jax.tree.map(pick, out_gi, st["last_gi"]),
+        last_sdata=jax.tree.map(pick, sdata_s, st["last_sdata"]),
+        fb=fb,
+        l1=sdata_s.l1,
+        prev_view=cam["view"],
+        prev_proj=cam["proj"],
+    )
+
+
+# NOTE: no buffer donation — the fresh-state reservoirs alias one zeros
+# buffer across fields (ReservoirDI.zeros_like_lanes), which XLA rejects
+# as a double-donate; the state copy is ~100 MB at 1080p and fori_loop
+# double-buffers internally regardless.
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def _render_many(scene, st: dict, cam_base: dict, frame0: jax.Array,
+                 cfg: RenderConfig, k: int) -> dict:
+    return jax.lax.fori_loop(
+        0, k,
+        lambda i, s: _frame_body(scene, cam_base, cfg, s,
+                                 frame0 + i.astype(jnp.uint32)),
+        st)
+
+
 class RestirRenderer:
     """Progressive ReSTIR DI+GI renderer over a Scene (flagship pipeline)."""
 
@@ -1056,6 +1121,7 @@ class RestirRenderer:
         if cfg.temporal_reuse:
             packed_di, packed_gi = _pack_last(
                 self.last_di, self.last_gi, self.last_sdata, _rec_dtype(cfg))
+            tick("pack_last", packed_di[0])
             res_di, res_gi = pass2_temporal(
                 scene, cam, frame, res_di, res_gi, sdata, packed_di,
                 packed_gi, cfg,
@@ -1130,6 +1196,41 @@ class RestirRenderer:
                 occupancy[f"gi_bounce{b}_active"] = float(ov[1 + b])
             self.metrics["pass_times_s"] = pass_times
             self.metrics["occupancy"] = occupancy
+
+    def render_many(self, k: int) -> None:
+        """Render k frames in ONE jit dispatch (lax.fori_loop over the
+        frame body).  Semantically identical to k render() calls
+        (equality-tested) but pays ONE dispatch + sync instead of ~10*k:
+        small-resolution convergence runs are dispatch-overhead-bound
+        (~90 ms/frame at 64^2 through the tunnel vs <1 ms device work).
+        Camera and scene are static across the batch; per-pass profiling
+        and per-frame metrics are unavailable inside it."""
+        if self.cfg.seed_mode == "time":
+            raise ValueError("render_many needs deterministic seed_mode="
+                             "'frame' (time advances per dispatch, not "
+                             "per frame)")
+        cam = self._camera_arrays()
+        cam_base = {kk: v for kk, v in cam.items()
+                    if kk not in ("prev_view", "prev_proj")}
+        state = dict(last_di=self.last_di, last_gi=self.last_gi,
+                     last_sdata=self.last_sdata, fb=self.fb, l1=self.l1,
+                     prev_view=self._prev_view, prev_proj=self._prev_proj)
+        t0 = time.perf_counter()
+        state = _render_many(self.scene_arrays, state, cam_base,
+                             jnp.uint32(self.frame), self.cfg, int(k))
+        state["fb"].accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        self.last_di = state["last_di"]
+        self.last_gi = state["last_gi"]
+        self.last_sdata = state["last_sdata"]
+        self.fb = state["fb"]
+        self.l1 = state["l1"]
+        self._prev_view = state["prev_view"]
+        self._prev_proj = state["prev_proj"]
+        self.frame += int(k)
+        self.metrics = dict(frame_time_s=dt / max(k, 1),
+                            fps=k / max(dt, 1e-9), frame=self.frame,
+                            batch_frames=int(k), batch_time_s=dt)
 
     def radiance(self) -> np.ndarray:
         """Linear image: accumulated ReSTIR shade, L1 passthrough for

@@ -365,3 +365,52 @@ def test_trace_dispatch_chunked_parity(monkeypatch):
             assert np.array_equal(np.asarray(plain_c[k]),
                                   np.asarray(chunk_c[k])), (traversal, k)
         assert np.array_equal(np.asarray(plain_a), np.asarray(chunk_a))
+
+
+@pytest.mark.slow
+def test_render_many_matches_sequential():
+    """render_many(k) — k frames in ONE jit — must match k sequential
+    render() calls on radiance, framebuffer count and ping-pong state
+    (the dispatch-amortized path used by the bench RMSE rows and the
+    fused-frame composition A/B)."""
+    cfg = RenderConfig(width=24, height=24, aa_jitter=False)
+    a = RestirRenderer(cornell_box(emission=18.0), CAM, cfg)
+    for _ in range(4):
+        a.render()
+    b = RestirRenderer(cornell_box(emission=18.0), CAM, cfg)
+    b.render_many(4)
+    assert np.allclose(a.radiance(), b.radiance(), atol=3e-7)
+    assert np.array_equal(np.asarray(a.fb.count), np.asarray(b.fb.count))
+    assert np.allclose(np.asarray(a.last_di.w_sum),
+                       np.asarray(b.last_di.w_sum), atol=3e-6)
+    # resuming a batch from sequential state (and vice versa) stays aligned
+    a.render()
+    b.render_many(1)
+    assert np.allclose(a.radiance(), b.radiance(), atol=3e-7)
+
+
+@pytest.mark.slow
+def test_render_many_oracles_match_sequential():
+    """DiOracle.render_many and megakernel Renderer.render_many equal
+    their sequential loops (f32-vs-f64 accumulation tolerance for the
+    oracle; megakernel state is identical per frame)."""
+    from royaltracer_dx_tpu.render.di_oracle import DiOracle
+    from royaltracer_dx_tpu.render.renderer import Renderer
+
+    cfg = RenderConfig(width=16, height=16, aa_jitter=False)
+    a = DiOracle(cornell_box(emission=18.0), CAM, cfg)
+    for _ in range(5):
+        a.render()
+    b = DiOracle(cornell_box(emission=18.0), CAM, cfg)
+    b.render_many(5)
+    assert np.allclose(a.radiance(), b.radiance(), atol=1e-5)
+
+    mcfg = RenderConfig(width=16, height=16, max_bounces=3,
+                        aa_jitter=False)
+    ma = Renderer(cornell_box(emission=18.0), CAM, mcfg)
+    for _ in range(3):
+        ma.render()
+    mb = Renderer(cornell_box(emission=18.0), CAM, mcfg)
+    mb.render_many(3)
+    assert np.allclose(ma.radiance(), mb.radiance(), atol=3e-7)
+    assert np.array_equal(np.asarray(ma.fb.count), np.asarray(mb.fb.count))

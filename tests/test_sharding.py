@@ -5,6 +5,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# lane 2 of the CI split (VERDICT r4 #8): the sharded ReSTIR equality
+# tests compile multi-device programs and dominate the suite's wall time
+pytestmark = pytest.mark.sharded
+
 from royaltracer_dx_tpu.parallel.shard import (
     make_sharded_trace,
     pad_to_devices,
