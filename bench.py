@@ -320,8 +320,51 @@ def main():
             "channel_means": [round(float(c), 4)
                               for c in fimg.mean(axis=(0, 1))],
         }
+        # in-frame pass ticks + the pass2 composition ratio (VERDICT r4
+        # #2).  r5a root cause: r4's "8x anomaly" was a bad STANDALONE
+        # measurement — with real chained inputs pass2 costs ~192 ms
+        # standalone vs ~198 in-frame (ratio ~1.03).  The ratio is
+        # re-measured here in-artifact: pass2_temporal is already jitted
+        # and warm, so the standalone reps are cheap.
+        frr.profile = True
+        frr.render()
+        frr.profile = False
+        passes = {k: round(v * 1e3, 1)
+                  for k, v in frr.metrics.get("pass_times_s", {}).items()}
+        row["pass_ms_profiled"] = passes
+        try:
+            from royaltracer_dx_tpu.render import restir_renderer as _rrm
+            cfgf = frr.cfg
+            camf = frr._camera_arrays()
+            fr7 = jnp.uint32(7)
+            res_di, sdata, gi_in, seed = _rrm.pass1_di(
+                frr.scene_arrays, camf, fr7, cfgf)
+            gst = _rrm.pass1_gi_init(frr.scene_arrays, gi_in, seed, cfgf)
+            for b in range(cfgf.gi_bounces):
+                gst = _rrm.pass1_gi_bounce(frr.scene_arrays, cfgf, gst,
+                                           jnp.uint32(b))
+            res_gi, _ = _rrm.pass1_gi_final(frr.scene_arrays, gi_in, gst,
+                                            cfgf)
+            pd, pg = _rrm._pack_last(frr.last_di, frr.last_gi,
+                                     frr.last_sdata, _rrm._rec_dtype(cfgf))
+            _sync(_rrm.pass2_temporal(frr.scene_arrays, camf, fr7, res_di,
+                                      res_gi, sdata, pd, pg, cfgf))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _sync(_rrm.pass2_temporal(frr.scene_arrays, camf, fr7,
+                                          res_di, res_gi, sdata, pd, pg,
+                                          cfgf))
+            p2_alone = (time.perf_counter() - t0) / 3 * 1e3
+            row["pass2_standalone_ms"] = round(p2_alone, 1)
+            if passes.get("pass2_temporal"):
+                row["pass2_inframe_over_standalone"] = round(
+                    passes["pass2_temporal"] / p2_alone, 2)
+        except Exception as e:
+            row["pass2_ab_error"] = repr(e)[:160]
         # fused-frame composition A/B (VERDICT r4 #2/#3): the same frame
-        # as ONE jit (render_many) vs the ~10-dispatch per-pass loop
+        # as ONE jit (render_many) vs the ~10-dispatch per-pass loop.
+        # r5a measured 2703 ms fused vs 2744 dispatch-composed (-1.5%):
+        # there is NO pass-boundary tax; the row pins that in-artifact.
         if _left() > 240:
             frr.render_many(2)      # compile + warm
             t0 = time.perf_counter()
