@@ -67,6 +67,12 @@ class RenderConfig:
     # rel_mean 0.99997) at slightly higher noise.  Set 8 when the
     # accuracy bar matters more than variance.
     temporal_m_cap: int = 16
+    # Dead-lane trace retirement (r5): GI continuation / BSDF-candidate
+    # traces collapse masked-out lanes to dead segments (t_max < t_min)
+    # so the flat sweep's per-tile unions thin as occupancy decays.
+    # Bit-identical to tracing them (equality-tested); the knob exists
+    # for A/B measurement only.
+    retire_dead_lanes: bool = True
     temporal_m_cap_gi: int = 16
     temporal_r_threshold: float = 0.09
     w_sum_threshold: float = 5.0

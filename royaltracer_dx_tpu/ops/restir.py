@@ -621,13 +621,26 @@ def fetch_material_p(scene: SceneArrays, mid: jax.Array) -> dict:
 
 
 def trace_closest_p(scene: SceneArrays, origins, dirs, cfg: RenderConfig,
-                    t_min=1e-4, coherent: bool = True) -> dict:
+                    t_min=1e-4, coherent: bool = True, live=None) -> dict:
     """Planar trace_closest: planar (or AoS [N,3]) rays in, planar hit
     record out (pos/normal as planes; v6 semantics — no normal flip
-    toward the ray)."""
+    toward the ray).
+
+    live: optional [N] bool — lanes whose hit is masked out by every
+    consumer (inactive GI paths, non-sampling pixels).  They trace DEAD
+    segments (t_max < t_min, the same retirement the chunk padding
+    uses): every traversal path skips them and they stop fattening the
+    flat sweep's per-tile cluster unions, which scattered continuation
+    batches pay heavily once GI occupancy decays (0.98 -> 0.38 over the
+    garage's three bounces).  Dead lanes return the miss record —
+    bit-identical downstream because their values were already
+    where()-ed out (r5 equality test: tests/test_restir.py)."""
     o = as_planes3(origins)
     d = as_planes3(dirs)
-    hit = _closest_dispatch(scene, o, d, cfg, t_min, _T_MAX,
+    t_max = _T_MAX
+    if live is not None and cfg.retire_dead_lanes:
+        t_max = jnp.where(live, _T_MAX, -1.0)
+    hit = _closest_dispatch(scene, o, d, cfg, t_min, t_max,
                             coherent=coherent)
     pos = pv.add(o, pv.scale(d, hit.t))
     normal, _, area, mid, obj = hit_attributes_p(hit, scene.tri_table)
@@ -857,14 +870,15 @@ def _nee_one(scene, x1, normal, outgoing, mat, u_sel, xi1, xi2):
     )
 
 
-def bsdf_candidate_p(scene, x1, normal, outgoing, mat, strategy, seed, cfg):
+def bsdf_candidate_p(scene, x1, normal, outgoing, mat, strategy, seed, cfg,
+                     live=None):
     """Planar SampleLightBSDF (Sampler_v6.hlsl:199-271): sample lobe, trace,
-    MIS pdfs.  All planar [N]."""
+    MIS pdfs.  All planar [N].  live: see trace_closest_p."""
     nrm_o = pv.normalize(outgoing)
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       nrm_o, normal, seed)
     hit = trace_closest_p(scene, x1, sample, cfg,
-                          t_min=S_BIAS, coherent=False)
+                          t_min=S_BIAS, coherent=False, live=live)
     hmat = fetch_material_p(scene, hit["mid"])
     ke = hmat["ke"]
     is_light = pv.avg(ke) * 3.0 > EPSILON

@@ -44,10 +44,13 @@ def _zero_reservoir(like: jax.Array) -> dict:
     return dict(xn=zv, nn=zv, e3=zv, w_sum=z, w=z, m=z)
 
 
-def gi_init(scene, cfg: RenderConfig, x1, n1, outgoing, mid, seed):
+def gi_init(scene, cfg: RenderConfig, x1, n1, outgoing, mid, seed,
+            live=None):
     """Initial BSDF bounce -> reconnection vertex (planar state dict).
 
-    x1/n1/outgoing: planar vecs over [N] lanes."""
+    x1/n1/outgoing: planar vecs over [N] lanes.  live: lanes whose GI
+    state is consumed (the caller's sampling mask); the rest trace dead
+    segments — see restir.trace_closest_p."""
     mat = restir.fetch_material_p(scene, mid)
     outgoing = pv.normalize(outgoing)
     strategy, _, seed = bsdf.select_strategy_p(
@@ -56,7 +59,7 @@ def gi_init(scene, cfg: RenderConfig, x1, n1, outgoing, mid, seed):
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, n1, seed)
     hit = restir.trace_closest_p(scene, x1, sample, cfg,
-                                 t_min=S_BIAS, coherent=False)
+                                 t_min=S_BIAS, coherent=False, live=live)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = pv.length(hmat["ke"]) > 0.0
     active = hit["valid"] & ~hit_light
@@ -172,7 +175,8 @@ def gi_bounce(scene, cfg: RenderConfig, st: dict, bounce: jax.Array) -> dict:
     sample, seed = bsdf.sample_bsdf_p(strategy, mat["ks"], mat["rough"],
                                       outgoing, normal, seed)
     hit = restir.trace_closest_p(scene, origin, sample,
-                                 cfg, t_min=S_BIAS, coherent=False)
+                                 cfg, t_min=S_BIAS, coherent=False,
+                                 live=active)
     hmat = restir.fetch_material_p(scene, hit["mid"])
     hit_light = (pv.length(hmat["ke"]) > 0.0) & hit["valid"]
 

@@ -263,7 +263,8 @@ def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig,
         )
     for _ in range(m2):
         bc, seed = restir.bsdf_candidate_p(
-            scene, hit["pos"], hit["normal"], outgoing, mat, strategy, seed, cfg
+            scene, hit["pos"], hit["normal"], outgoing, mat, strategy, seed,
+            cfg, live=sampling,
         )
         wi = bc["p_hat"] / jnp.maximum(m1 * bc["pdf_light"] + m2 * bc["pdf_bsdf"], 1e-20)
         ok = sampling & (bc["p_hat"] > 0.0) & jnp.isfinite(wi) & (bc["pdf_bsdf"] > 0.0)
@@ -303,7 +304,7 @@ def pass1_di(scene, cam: dict, frame: jax.Array, cfg: RenderConfig,
 def pass1_gi_init(scene, gi_inputs, seed, cfg: RenderConfig):
     st = restir_gi.gi_init(
         scene, cfg, gi_inputs["x1"], gi_inputs["n1"], gi_inputs["o"],
-        gi_inputs["mid"], seed,
+        gi_inputs["mid"], seed, live=gi_inputs["sampling"],
     )
     st["active"] = st["active"] & gi_inputs["sampling"]
     return st

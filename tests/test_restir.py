@@ -414,3 +414,26 @@ def test_render_many_oracles_match_sequential():
     mb.render_many(3)
     assert np.allclose(ma.radiance(), mb.radiance(), atol=3e-7)
     assert np.array_equal(np.asarray(ma.fb.count), np.asarray(mb.fb.count))
+
+
+def test_retire_dead_lanes_bit_identical():
+    """Dead-lane trace retirement (cfg.retire_dead_lanes) must be
+    BIT-identical over multi-frame renders: masked lanes' hits are
+    where()-ed out by every consumer, so collapsing them to dead
+    segments cannot change any consumed value (r5; the knob exists only
+    for this A/B)."""
+    cfg_on = RenderConfig(width=24, height=24, aa_jitter=False)
+    cfg_off = RenderConfig(width=24, height=24, aa_jitter=False,
+                           retire_dead_lanes=False)
+    a = RestirRenderer(cornell_box(emission=18.0), CAM, cfg_on)
+    b = RestirRenderer(cornell_box(emission=18.0), CAM, cfg_off)
+    for _ in range(3):
+        a.render()
+        b.render()
+    assert np.array_equal(a.radiance(), b.radiance())
+    assert np.array_equal(np.asarray(a.last_di.w_sum),
+                          np.asarray(b.last_di.w_sum))
+    assert np.array_equal(np.asarray(a.last_gi.w_sum),
+                          np.asarray(b.last_gi.w_sum))
+    assert np.array_equal(np.asarray(a.last_gi.xn),
+                          np.asarray(b.last_gi.xn))
