@@ -148,10 +148,10 @@ def main():
     say(f"2 frames rendered [t={time.perf_counter()-t_start:.0f}s]")
 
     # ---- capture every closest batch p1+GI issues, + the gi_bounce state
-    cap = []
-
     @jax.jit
     def mk_state(camv):
+        cap = []
+
         def spy(scene_, o, d, cfg_, t_min=1e-4, coherent=True, live=None):
             cap.append((restir.as_planes3(o), restir.as_planes3(d), live))
             return ORIG_CLOSEST(scene_, o, d, cfg_, t_min=t_min,
@@ -163,29 +163,16 @@ def main():
                                    gi_in["o"], gi_in["mid"], seed,
                                    live=gi_in["sampling"])
             st["active"] = st["active"] & gi_in["sampling"]
-            st = restir_gi.gi_bounce(sa, cfg, st, jnp.uint32(0))
-        return st
+            st_pre = dict(st)
+            restir_gi.gi_bounce(sa, cfg, st, jnp.uint32(0))
+        # captures: 0=p1_primary 1=p1_bsdf_cand 2=gi_init 3=gi_bounce0
+        return st_pre, tuple(cap)
 
-    # batches: 0=p1_primary 1=p1_bsdf_cand 2=gi_init 3=gi_bounce0
-    _st_after = mk_state(cam)
-    batches = jax.tree.map(jnp.asarray, jax.tree.map(
-        np.asarray, (cap[0], cap[1], cap[3])))
-    (b_prim, b_cand, b_gi) = batches
-
-    @jax.jit
-    def mk_gb_state(camv):
-        res_di, sdata, gi_in, seed = rr.pass1_di.__wrapped__(
-            sa, camv, frame, cfg)
-        st = restir_gi.gi_init(sa, cfg, gi_in["x1"], gi_in["n1"],
-                               gi_in["o"], gi_in["mid"], seed,
-                               live=gi_in["sampling"])
-        st["active"] = st["active"] & gi_in["sampling"]
-        return st
-
-    st0 = jax.tree.map(jnp.asarray, jax.tree.map(np.asarray,
-                                                 mk_gb_state(cam)))
+    st0, caps = jax.tree.map(jnp.asarray,
+                             jax.tree.map(np.asarray, mk_state(cam)))
+    (b_prim, b_cand, _b_giinit, b_gi) = caps
     n = b_gi[0][0].shape[0]
-    say(f"state + {len(cap)} batches ready, n={n} "
+    say(f"state + {len(caps)} batches ready, n={n} "
         f"[t={time.perf_counter()-t_start:.0f}s]")
 
     def row(lbl, fn, *args):
