@@ -262,21 +262,19 @@ def _shade_attrs_from_planes(v, nv, u_bary, v_bary):
     return normal, flat, area
 
 
-def hit_attributes_p(hit: Hit, tri_table: tuple):
-    """All per-hit shading attributes from the sharded triangle table in
-    three narrow row gathers (see SceneArrays.with_tri_table — <= 32 B
-    rows gather ~2-4x cheaper than one 80 B row).
+def hit_attributes_p(hit: Hit, tri_table: jax.Array):
+    """All per-hit shading attributes from the packed triangle table in
+    ONE wide row gather (see SceneArrays.with_tri_table — row-gather
+    cost is per op, not per byte; profile_r5f).
 
     Returns (normal, flat, area, mid, obj) — normals planar, ids int32.
     """
-    ra = tri_table[0][hit.tri]                       # [N, 8] v0 v1 v2.xy
-    rb = tri_table[1][hit.tri]                       # [N, 8] v2.z nv0 nv1 nv2.x
-    rc = tri_table[2][hit.tri]                       # [N, 4] nv2.yz mid obj
-    v = [ra[:, k] for k in range(8)] + [rb[:, 0]]
-    nv = [rb[:, 1 + k] for k in range(7)] + [rc[:, 0], rc[:, 1]]
+    row = tri_table[hit.tri]                  # [N, 20] one wide gather
+    v = [row[:, k] for k in range(9)]
+    nv = [row[:, 9 + k] for k in range(9)]
     # ids travel as float values, not bitcasts (TPU flushes denormals)
-    mid = rc[:, 2].astype(jnp.int32)
-    obj = rc[:, 3].astype(jnp.int32)
+    mid = row[:, 18].astype(jnp.int32)
+    obj = row[:, 19].astype(jnp.int32)
     normal, flat, area = _shade_attrs_from_planes(v, nv, hit.u, hit.v)
     return normal, flat, area, mid, obj
 

@@ -125,13 +125,14 @@ class SceneArrays:
     clusters: object = None          # Clusters when built (traversal="cluster")
     stream: object = None            # StreamAccel when built (traversal="stream")
     # packed per-triangle shading record: verts(9) normals(9) mid obj as
-    # THREE narrow shards (<= 32 B rows) — TPU row-gather cost cliffs
-    # above 32-byte rows (measured ~5 ns/row at 32 B vs ~20-41 ns at
-    # 80-104 B, profile_r3j/r3l), so three narrow gathers beat one wide
-    # one ~2-3x.  Ids ride as float VALUES (exact for |id| < 2^24), NOT
-    # bitcasts: small ints bitcast to f32 are denormals, which the TPU
-    # flushes to zero in transit.
-    tri_table: tuple | None = None
+    # ONE wide [T, 20] row — XLA-TPU row-gather cost is per gather OP,
+    # nearly independent of row width (honest fixed-consumption harness,
+    # profile_r5f at 2.07M lanes: one 96 B gather 2.7 ns/r vs three
+    # <= 32 B gathers 7.6; the old narrow-shard design rested on
+    # DCE-polluted rows).  Ids ride as float VALUES (exact for
+    # |id| < 2^24), NOT bitcasts: small ints bitcast to f32 are
+    # denormals, which the TPU flushes to zero in transit.
+    tri_table: jax.Array | None = None
 
     def with_tri_table(self) -> "SceneArrays":
         t = self.num_triangles
@@ -139,11 +140,7 @@ class SceneArrays:
         n9 = self.tri_normals.reshape(t, 9)
         ids = jnp.stack([self.tri_material.astype(jnp.float32),
                          self.tri_instance.astype(jnp.float32)], axis=1)
-        table = (
-            v9[:, 0:8],                                        # v0 v1 v2.xy
-            jnp.concatenate([v9[:, 8:9], n9[:, 0:7]], axis=1),  # v2.z nv0 nv1 nv2.x
-            jnp.concatenate([n9[:, 7:9], ids], axis=1),        # nv2.yz mid obj
-        )
+        table = jnp.concatenate([v9, n9, ids], axis=1)   # [T, 20]
         return self.replace(tri_table=table)
 
     @property
