@@ -461,8 +461,16 @@ def main():
         n = origins.shape[0]
 
         def _closest_step(o):
+            # consume the FULL DXR-TraceRay-equivalent payload (t, u, v,
+            # prim id): consuming t alone lets XLA's while-loop
+            # simplifier delete the u/v/tri carries from the sweep and
+            # the row silently measures find-mode (r5e/r5g — r3/r4
+            # closest rows overstated throughput this way)
             h = st.closest_hit_stream_xla(o, dirs, accel)
-            return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+            pay = (jnp.clip(h.t[:, None], 0.0, 1.0) + h.u[:, None]
+                   + h.v[:, None] + h.tri[:, None].astype(jnp.float32)
+                   * 1e-9)
+            return o + pay * 1e-9
         dt = _slope(_closest_step, origins, label="terrain_closest")
         t_hit = st.closest_hit_stream_xla(origins, dirs, accel).t
         mrays_closest = n / dt / 1e6
@@ -505,7 +513,10 @@ def main():
         def _cs_step(o):
             h = st.closest_hit_stream_xla(o, ld, accel, 1e-3, tmax_s,
                                           presort=True)
-            return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+            pay = (jnp.clip(h.t[:, None], 0.0, 1.0) + h.u[:, None]
+                   + h.v[:, None] + h.tri[:, None].astype(jnp.float32)
+                   * 1e-9)
+            return o + pay * 1e-9
         dt_cs = _slope(_cs_step, p, label="terrain_closest_on_shadow_batch")
         extra["terrain_1m"] = {
             "tris": int(tris.shape[0]),
@@ -632,7 +643,10 @@ def main():
 
         def _cm_step(o, a=accel_m):
             h = st.closest_hit_stream_xla(o, dirs, a)
-            return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+            pay = (jnp.clip(h.t[:, None], 0.0, 1.0) + h.u[:, None]
+                   + h.v[:, None] + h.tri[:, None].astype(jnp.float32)
+                   * 1e-9)
+            return o + pay * 1e-9
         dt_m2 = _slope(_cm_step, origins, label="terrain_closest_morton")
         extra["build_quality_1m"] = {
             "median_build_s": round(state["build_s"], 3),
@@ -673,7 +687,10 @@ def main():
 
             def _ac_step(o, a=a_acc, ad=ad):
                 h = st.closest_hit_stream_xla(o, ad, a)
-                return o + jnp.clip(h.t[:, None], 0.0, 1.0) * 1e-9
+                pay = (jnp.clip(h.t[:, None], 0.0, 1.0) + h.u[:, None]
+                       + h.v[:, None] + h.tri[:, None].astype(jnp.float32)
+                       * 1e-9)
+                return o + pay * 1e-9
             a_dt = _slope(_ac_step, ao, label=f"{aname}_closest")
             a_t = st.closest_hit_stream_xla(ao, ad, a_acc).t
             hitfrac = float(np.mean(np.asarray(a_t) < 1e29))

@@ -1172,18 +1172,19 @@ _FETCH_MODE = None
 # round minimum, strict cross-round better) — only u/v can drift ulps
 # (same formula, different fusion context).
 #
-# MEASURED NEGATIVE both ways (round 4, TPU v5e) — "argmin" stays the
-# default on both paths and "defer" is a documented study: the r4l
-# find-only bound (7.68 ms vs 15.79 full at terrain-1M) suggested the
-# in-round epilogue was ~half the sweep, but neither defer variant
-# recovered it — min+eq+where-min lane select ran 20.7 ms terrain /
-# 103 ms garage-1080p (r4m; XLA's variadic argmin beats hand-rolled
-# select chains), and the argmin-based (t, slot) carry still ran
-# 18.5 ms vs 14.4 (r4m2).  The one-hot u/v extraction fuses into the
-# round's MT wake for ~free; the find-only gap must come from the
-# 1-array vs 4-array while_loop carry structure, not the epilogue ops.
-_CLOSEST_EPILOGUE = "argmin"          # windowed path
-_CLOSEST_EPILOGUE_FLAT = "argmin"     # flat (small-scene) path
+# "defer" is the DEFAULT on both paths (round 5).  The round-4 studies
+# that measured it negative (r4l/r4m/r4m2) consumed one output lane, and
+# XLA's while-loop simplifier deletes dead tuple carries — so the
+# "argmin" baseline was silently measured in find-mode (u/v carries and
+# their one-hot extraction DCE'd) and defer could never show its win.
+# The honest consume-everything A/B (profile_r5g, tunneled v5e, real
+# 1080p frame batches) has defer a decisive win on every batch:
+# p1 primary 74.1 -> 46.3 ms, p1 bsdf-cand 168.6 -> 92.7, gi_bounce0
+# trace 172.7 -> 95.7 (find-only floor 22.2/70.3), composed gi_bounce
+# pass 227.0 -> 169.5 ms.  Slot selection is bit-identical; only u/v
+# can drift ulps (same formula, different fusion context).
+_CLOSEST_EPILOGUE = "defer"           # windowed path
+_CLOSEST_EPILOGUE_FLAT = "defer"      # flat (small-scene) path
 
 # Occlusion pair-width doubling (see _sweep); module knob for perf A/Bs.
 # Default OFF on BOTH paths (round 4, TPU v5e): the r3 hypothesis (wider
