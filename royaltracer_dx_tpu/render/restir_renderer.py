@@ -98,6 +98,15 @@ _F = jnp.float32
 _I = jnp.int32
 
 
+def _tap_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Every packed-record row gather (pass-2 reprojection, pass-3 taps
+    and payloads) goes through this seam: profilers stub it for
+    gather-vs-math decompositions, and the formulation is pinned in one
+    place (r5f, honest harness: narrow [N, 8] rows ~5.9 ns/row f32 /
+    ~4.2 f16; wide merges LOSE at N-sized tables — 24-col rows cost 5x)."""
+    return table[idx]
+
+
 def _pack_record(sd: dict, res: dict, keys: tuple,
                  dtype=jnp.float32) -> tuple:
     """sdata planes + reservoir planes -> THREE [N, 8] shard arrays.
@@ -404,9 +413,11 @@ def pass2_temporal(scene, cam, frame, cur_di: dict, cur_gi: dict,
 
     # 3 + 2 narrow shard gathers (S0/S1/S2 of the DI table; the GI table
     # shares sdata columns with DI, so only its S1/S2 rows are fetched)
-    l_sd, l_di = _unpack_record(tuple(s[idx] for s in last_packed_di),
+    l_sd, l_di = _unpack_record(tuple(_tap_gather(s, idx)
+                                      for s in last_packed_di),
                                 _DI_KEYS)
-    l_gi = _unpack_res(last_packed_gi[1][idx], last_packed_gi[2][idx],
+    l_gi = _unpack_res(_tap_gather(last_packed_gi[1], idx),
+                       _tap_gather(last_packed_gi[2], idx),
                        _GI_KEYS)
 
     mat = restir.fetch_material_p(scene, sdata["mid"])
@@ -631,8 +642,8 @@ def _gi_candidates(scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys,
     for t in range(cfg.spatial_max_tries):
         pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
                                               row0, band_h)
-        g0 = packed_gi[0][pidx_t].astype(_F)            # [N, 8]
-        g1 = packed_gi[1][pidx_t].astype(_F)
+        g0 = _tap_gather(packed_gi[0], pidx_t).astype(_F)            # [N, 8]
+        g1 = _tap_gather(packed_gi[1], pidx_t).astype(_F)
         g_x1 = (g0[:, 0], g0[:, 1], g0[:, 2])
         g_mid = g0[:, 6].astype(_I)
         g_xn = (g1[:, 0], g1[:, 1], g1[:, 2])
@@ -664,9 +675,9 @@ def _gi_candidates(scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys,
     _, seed = tea_random(seed)
     nb_gi, nb_sd_g = [], []
     for v in range(k):
-        g0v = packed_gi[0][sel_pidx[v]].astype(_F)
-        g1v = packed_gi[1][sel_pidx[v]].astype(_F)
-        g2v = packed_gi[2][sel_pidx[v]].astype(_F)
+        g0v = _tap_gather(packed_gi[0], sel_pidx[v]).astype(_F)
+        g1v = _tap_gather(packed_gi[1], sel_pidx[v]).astype(_F)
+        g2v = _tap_gather(packed_gi[2], sel_pidx[v]).astype(_F)
         nb_gi.append(dict(
             xn=(g1v[:, 0], g1v[:, 1], g1v[:, 2]),
             nn=(g1v[:, 3], g1v[:, 4], g1v[:, 5]),
@@ -727,7 +738,7 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     for t in range(cfg.spatial_max_tries):
         pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
                                               row0, band_h)
-        r0 = packed_di[0][pidx_t].astype(_F)            # [N, 8]
+        r0 = _tap_gather(packed_di[0], pidx_t).astype(_F)            # [N, 8]
         c_mid = r0[:, 6].astype(_I)
         accept_t = (
             ~is_center_t
@@ -752,9 +763,10 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
     _, seed = tea_random(seed)
     nb_di, nb_sd = [], []
     for v in range(k):
-        r0v = packed_di[0][sel_pidx[v]].astype(_F)
-        r2v = packed_di[2][sel_pidx[v]].astype(_F)
-        nb_di.append(_unpack_res(packed_di[1][sel_pidx[v]], r2v, _DI_KEYS))
+        r0v = _tap_gather(packed_di[0], sel_pidx[v]).astype(_F)
+        r2v = _tap_gather(packed_di[2], sel_pidx[v]).astype(_F)
+        nb_di.append(_unpack_res(
+            _tap_gather(packed_di[1], sel_pidx[v]), r2v, _DI_KEYS))
         nb_sd.append(dict(
             x1=(r0v[:, 0], r0v[:, 1], r0v[:, 2]),
             n1=(r0v[:, 3], r0v[:, 4], r0v[:, 5]),
