@@ -138,11 +138,19 @@ class RenderConfig:
     seed_mode: str = "frame"
 
     # Storage precision of the packed inter-pixel reservoir/sample records
-    # (the gather tables of pass 2/3).  "f16" mirrors the reference's
-    # half-precision reservoir storage (-enable-16bit-types,
-    # DXRHelper.h:122-133): 52-byte rows instead of 104, f32 compute.
-    # Ids stay exact below 2^11 (checked at flatten); measured RMSE delta
-    # is published in BENCH extra.
+    # (the gather tables of pass 2/3): "f32" (default), "f16", or
+    # "bf16" — 2-byte modes halve the shard rows, compute stays f32.
+    # "f16" mirrors the reference's half-precision reservoir storage
+    # (-enable-16bit-types, DXRHelper.h:122-133) but inherits its RANGE
+    # hazard: a bright close light drives DI w_sum past 65504 and the
+    # stored reservoir goes inf (measured, r5: cornell emission-18 blows
+    # the DI chain's rel_mean to 408); "bf16" has f32 range but its
+    # 8-bit mantissa fails the energy bars (rel_mean 0.77 same test).
+    # So the DEFAULT stays f32 for the payload tables — VERDICT r4 #5
+    # closed as measured-harmful, not neutral — and the gather-cost win
+    # comes from pass 3's dedicated f16 ACCEPT tables instead (x1/n1/
+    # mid/flags/xn/nn geometry — range-safe; see pass3_spatial), which
+    # ship at every record_dtype.
     record_dtype: str = "f32"
 
     @property

@@ -636,14 +636,29 @@ def _gi_candidates(scene, cur_gi, sdata, mat, packed_gi, cam_pos, xs, ys,
     Returns (gi_ok, nb_gi, nb_sd_g, seed)."""
     k = cfg.spatial_candidate_count
     rough_ok = mat["rough"] > 0.3
+    # The accept chain reads S0 AND S1 every try.  Both are merged into
+    # ONE dedicated f16 ACCEPT table (32 B rows): its columns are
+    # geometry (x1/n1/xn/nn), exact small ids/flags, and w_sum whose
+    # only accept use is a > threshold test (f16 overflow goes inf,
+    # which still passes) — so quantization can only flip borderline
+    # accepts, and the MIS math stays internally consistent (no bias).
+    # This halves the try-loop gather count AND halves the row bytes
+    # (r5i: in-pass row gathers ~21 ms each at 1080p, 945 ms total;
+    # r5f: 2-byte rows gather ~30% cheaper).  ALL payload rows — even
+    # the S0 x1/n1 origins — re-gather from the f32 shards (quantized
+    # origins in the MIS p_from compound through the temporal loop;
+    # see the DI block note).
+    s01 = jnp.concatenate([packed_gi[0], packed_gi[1]], axis=-1)
+    if s01.dtype != jnp.float16:
+        s01 = s01.astype(jnp.float16)
     cnt = jnp.zeros(xs.shape, _I)
     sel_pidx = None
     gi_ok = [jnp.zeros(xs.shape, bool) for _ in range(k)]
     for t in range(cfg.spatial_max_tries):
         pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
                                               row0, band_h)
-        g0 = _tap_gather(packed_gi[0], pidx_t).astype(_F)            # [N, 8]
-        g1 = _tap_gather(packed_gi[1], pidx_t).astype(_F)
+        g01 = _tap_gather(s01, pidx_t).astype(_F)                # [N, 16]
+        g0, g1 = g01[:, :8], g01[:, 8:]
         g_x1 = (g0[:, 0], g0[:, 1], g0[:, 2])
         g_mid = g0[:, 6].astype(_I)
         g_xn = (g1[:, 0], g1[:, 1], g1[:, 2])
@@ -725,20 +740,28 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
         packed_di, packed_gi = packed_di_ext, packed_gi_ext
 
     # ---- DI candidates (pass3:107-142), streamed per try in flat [N]
-    # layout: each try gathers ONLY the 32-byte S0 accept shard, runs the
-    # accept chain, and claims first-k slots; the k chosen candidates
-    # re-gather their S0/S1/S2 payload rows by pixel index.  Try-major
-    # [T, N] tensors pad T=9 to 16 sublanes and every downstream op pays
-    # the padding — the unrolled per-try pipeline measured ~10x cheaper
-    # (profile_r4s: 105 -> 9.5 ms at 1080p); narrow-row gathers are ~free
-    # (profile_r4p: <=0.04 ns/row from [N, 8] tables).
+    # layout: each try gathers ONLY the 16-byte f16 ACCEPT row (x1/n1/
+    # mid/flags — geometry and exact small values, so quantization can
+    # only flip borderline accepts; see the GI accept-table note), runs
+    # the accept chain, and claims first-k slots.  Try-major [T, N]
+    # tensors pad T=9 to 16 sublanes and every downstream op pays the
+    # padding — the unrolled per-try pipeline measured ~10x cheaper
+    # (profile_r4s: 105 -> 9.5 ms at 1080p).  The k chosen candidates'
+    # payload — INCLUDING the S0 x1/n1 the MIS p_from and visibility
+    # origins read — re-gathers from the f32 shards: feeding QUANTIZED
+    # origins into p_from breaks the pairwise-MIS equilibrium and the
+    # temporal feedback loop compounds it (measured: DI-only cornell w
+    # inflates ~8%/frame without bound).  f16 is confined to the accept
+    # tests, whose only possible harm is flipping borderline accepts.
+    acc_di = (packed_di[0] if packed_di[0].dtype == jnp.float16
+              else packed_di[0].astype(jnp.float16))
     cnt = jnp.zeros(xs.shape, _I)
     sel_pidx = None
     di_ok = [jnp.zeros(xs.shape, bool) for _ in range(k)]
     for t in range(cfg.spatial_max_tries):
         pidx_t, is_center_t = _spatial_try_at(xs, ys, cfg, seed, t,
                                               row0, band_h)
-        r0 = _tap_gather(packed_di[0], pidx_t).astype(_F)            # [N, 8]
+        r0 = _tap_gather(acc_di, pidx_t).astype(_F)            # [N, 8]
         c_mid = r0[:, 6].astype(_I)
         accept_t = (
             ~is_center_t
@@ -950,7 +973,8 @@ def pass3_spatial(scene, cam, frame, cur_di: dict, cur_gi: dict,
 
 
 def _rec_dtype(cfg: RenderConfig):
-    return jnp.float16 if cfg.record_dtype == "f16" else jnp.float32
+    return {"f16": jnp.float16, "bf16": jnp.bfloat16}.get(
+        cfg.record_dtype, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -1047,14 +1071,15 @@ class RestirRenderer:
             cluster_group=cfg.cluster_group,
             build_stream=_wants_stream(scene, cfg),
         )
-        if cfg.record_dtype == "f16":
-            # fp16 id columns are exact only below 2^11
+        if cfg.record_dtype in ("f16", "bf16"):
+            # half-precision id columns are exact only below 2^mantissa+1
+            lim = 2048 if cfg.record_dtype == "f16" else 256
             n_mat = len(scene._materials)
             n_inst = len(scene.instance_mesh)
-            if n_mat >= 2048 or n_inst >= 2048:
+            if n_mat >= lim or n_inst >= lim:
                 raise ValueError(
-                    f"record_dtype='f16' needs material ({n_mat}) and "
-                    f"instance ({n_inst}) counts < 2048")
+                    f"record_dtype='{cfg.record_dtype}' needs material "
+                    f"({n_mat}) and instance ({n_inst}) counts < {lim}")
         n = cfg.num_pixels
         lanes = jnp.zeros((n, 3))
         self.last_di = ReservoirDI.zeros_like_lanes(lanes)
